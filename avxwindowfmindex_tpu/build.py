@@ -1,0 +1,173 @@
+"""Index construction (awFmCreateIndex / awFmCreateIndexFromFasta parity).
+
+Pipeline mirrors AwFmCreate.c:31-137 / 140-279:
+  1. sanitize a copy of the sequence (ambiguity -> 'x'/'z');
+  2. append the '$' sentinel;
+  3. build the suffix array (native SA-IS or NumPy doubling, replacing
+     divsufsort64);
+  4. derive BWT letters + prefix sums (setBwtAndPrefixSums,
+     AwFmCreate.c:281-405) — here a fully vectorized NumPy pass;
+  5. build the k-mer seed table (batched BFS on device, ops/seed_table.py);
+  6. sample the suffix array (every ratio-th BWT position);
+  7. optionally serialize to a byte-compatible `.awfmi` file.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from . import suffix_array as sa_mod
+from .models import alphabet as alpha
+from .models.config import (
+    CURRENT_VERSION_NUMBER,
+    FEATURE_FLAG_BIT_FASTA_VECTOR,
+    AlphabetType,
+    IndexConfiguration,
+)
+from .models.index import FastaMetadata, FmIndex
+
+
+def _compute_bwt_letters(
+    sanitized_with_sentinel: np.ndarray, sa: np.ndarray, alphabet: AlphabetType
+) -> np.ndarray:
+    """BWT letter indices in SA order (AwFmCreate.c:315-335).
+
+    letter[i] = sentinel if SA[i] == 0 else letterIndex(seq[SA[i] - 1]).
+    """
+    prev = sa - 1
+    lett = alpha.ascii_to_index(
+        sanitized_with_sentinel[np.where(prev < 0, 0, prev)], alphabet
+    ).astype(np.uint8)
+    lett[sa == 0] = alpha.sentinel_index(alphabet)
+    return lett
+
+
+def _compute_prefix_sums(bwt_letters: np.ndarray, alphabet: AlphabetType) -> np.ndarray:
+    """Cumulative letter counts with the sentinel counted into
+    prefixSums[0] = 1 (AwFmCreate.c:338-344, 397-403).
+
+    prefix_sums[0] = 1; prefix_sums[i] = 1 + sum(counts of letters < i)
+    for i in 1..A+1 (ambiguity included); prefix_sums[A+1] == bwtLength.
+    """
+    card = alpha.cardinality(alphabet)
+    counts = np.bincount(bwt_letters, minlength=card + 2).astype(np.uint64)
+    ps = np.empty(card + 2, dtype=np.uint64)
+    ps[0] = 1
+    ps[1:] = 1 + np.cumsum(counts[: card + 1])
+    return ps
+
+
+def _build_from_sanitized(
+    sanitized: np.ndarray,
+    original_sequence: Optional[bytes],
+    config: IndexConfiguration,
+    fasta_metadata: Optional[FastaMetadata],
+    file_src: Optional[str],
+    sa_backend: Optional[str],
+) -> FmIndex:
+    seq_with_sentinel = np.concatenate(
+        [sanitized, np.array([ord("$")], dtype=np.uint8)]
+    )
+    bwt_length = len(seq_with_sentinel)
+
+    sa = sa_mod.build_suffix_array(seq_with_sentinel, backend=sa_backend)
+
+    bwt_letters = _compute_bwt_letters(seq_with_sentinel, sa, config.alphabet_type)
+    prefix_sums = _compute_prefix_sums(bwt_letters, config.alphabet_type)
+    sampled = sa[:: config.suffix_array_compression_ratio].astype(np.uint64)
+
+    feature_flags = 0
+    if fasta_metadata is not None:
+        feature_flags |= 1 << FEATURE_FLAG_BIT_FASTA_VECTOR
+
+    index = FmIndex(
+        config=config,
+        bwt_length=bwt_length,
+        bwt_letters=bwt_letters,
+        prefix_sums=prefix_sums,
+        kmer_seed_table=np.zeros(
+            (alpha.cardinality(config.alphabet_type) ** config.kmer_length_in_seed_table, 2),
+            dtype=np.uint64,
+        ),
+        sampled_sa=sampled,
+        version_number=CURRENT_VERSION_NUMBER,
+        feature_flags=feature_flags,
+        sequence=original_sequence if config.store_original_sequence else None,
+        fasta_metadata=fasta_metadata,
+    )
+
+    # seed table: batched BFS on device using the same backward-step math
+    # the search uses (exact parity with the DFS at AwFmCreate.c:407-450).
+    from .ops import seed_table as seed_mod
+
+    dev = index.to_device()
+    index.kmer_seed_table = seed_mod.build_seed_table(
+        dev.letters,
+        dev.milestones,
+        dev.prefix_sums,
+        alpha.cardinality(config.alphabet_type),
+        config.kmer_length_in_seed_table,
+    )
+    index.to_device(refresh=True)  # refresh the cached device seed table
+
+    if file_src is not None:
+        from .io import awfmi
+
+        awfmi.write_index(index, file_src)
+        index.file_path = file_src
+        if not config.keep_suffix_array_in_memory:
+            index.sampled_sa = None
+            index._device_cache = None
+    elif not config.keep_suffix_array_in_memory:
+        raise ValueError(
+            "keep_suffix_array_in_memory=False requires a file_src to page "
+            "suffix-array values from"
+        )
+    return index
+
+
+def create_index(
+    sequence: Union[bytes, str, np.ndarray],
+    config: Optional[IndexConfiguration] = None,
+    file_src: Optional[str] = None,
+    sa_backend: Optional[str] = None,
+) -> FmIndex:
+    """Build an index from a raw sequence (awFmCreateIndex,
+    AwFmCreate.c:31-137)."""
+    config = config or IndexConfiguration()
+    if isinstance(sequence, str):
+        sequence = sequence.encode()
+    if isinstance(sequence, (bytes, bytearray)):
+        seq_arr = np.frombuffer(bytes(sequence), dtype=np.uint8)
+    else:
+        seq_arr = np.asarray(sequence, dtype=np.uint8)
+    if len(seq_arr) == 0:
+        raise ValueError("sequence must be non-empty")
+    sanitized = alpha.sanitize(seq_arr, config.alphabet_type)
+    return _build_from_sanitized(
+        sanitized, bytes(seq_arr), config, None, file_src, sa_backend
+    )
+
+
+def create_index_from_fasta(
+    fasta_src: str,
+    config: Optional[IndexConfiguration] = None,
+    index_file_src: Optional[str] = None,
+    sa_backend: Optional[str] = None,
+) -> FmIndex:
+    """Build an index from every sequence in a FASTA file
+    (awFmCreateIndexFromFasta, AwFmCreate.c:140-279)."""
+    from .io import fasta as fasta_mod
+
+    config = config or IndexConfiguration()
+    sequence, metadata = fasta_mod.read_fasta(fasta_src)
+    if len(sequence) == 0:
+        raise ValueError(f"no sequence data in {fasta_src}")
+    sanitized = alpha.sanitize(
+        np.frombuffer(sequence, dtype=np.uint8), config.alphabet_type
+    )
+    return _build_from_sanitized(
+        sanitized, sequence, config, metadata, index_file_src, sa_backend
+    )

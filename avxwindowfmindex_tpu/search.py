@@ -1,0 +1,422 @@
+"""Batched FM-index search: count and locate on TPU.
+
+This is the TPU-native replacement for the reference's whole search stack
+(AwFmSearch.c, AwFmKmerTable.c, AwFmParallelSearch.c). Where the C code
+hides memory latency with 8 interleaved queries per thread + prefetch
+(AwFmParallelSearch.c:273-313), the TPU formulation batches tens of
+thousands of queries per step: the per-letter extension loop is a
+``lax.scan`` over the (padded) letter axis with per-query validity
+masking, and every step performs one fused gather + masked-popcount over
+the whole batch (ops/rank.py).
+
+Pipeline (mirrors §3.2 of SURVEY.md):
+  seed   — k-length suffix memo-table gather for eligible kmers
+           (AwFmKmerTable.c:21-51), or a from-scratch masked scan for
+           ineligible ones (AwFmSearch.c:485-520);
+  extend — scan over remaining letters (AwFmParallelSearch.c:273-313);
+  locate — LF backtrace to the nearest sampled BWT position
+           (AwFmParallelSearch.c:315-365) then a sampled-SA gather and
+           the sentinel-wrapping mod (AwFmSearch.c:237-241).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import alphabet as alpha
+from .models.config import AlphabetType
+from .models.index import DeviceIndex, FmIndex
+from .ops import rank as rank_ops
+
+_BACKTRACE_CHUNK = 1 << 16
+
+
+def _round_up_pow2(n: int, floor: int = 16) -> int:
+    n = max(n, floor)
+    return 1 << (n - 1).bit_length()
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Jitted device kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("card", "seed_k", "n_ext"))
+def _seeded_ranges(
+    letters, milestones, prefix_sums, seed_table, kmers, lengths, *, card, seed_k, n_ext
+):
+    """Seed-table gather + extension scan for seed-eligible kmers.
+
+    kmers: (B, L) uint8 letter indices (padded); lengths: (B,) int32.
+    Seed lookup: radix-accumulate the LAST seed_k letters, leftmost most
+    significant (AwFmKmerTable.c:21-51). Extension: one backward step per
+    remaining letter, lock-step across the batch
+    (AwFmParallelSearch.c:273-313).
+    """
+    powers = jnp.asarray(
+        [card ** (seed_k - 1 - j) for j in range(seed_k)], dtype=jnp.uint32
+    )
+    idxs = lengths[:, None] - seed_k + jnp.arange(seed_k, dtype=jnp.int32)[None, :]
+    last_k = jnp.take_along_axis(kmers, idxs, axis=1).astype(jnp.uint32)
+    table_idx = jnp.sum(last_k * powers[None, :], axis=1).astype(jnp.int32)
+    seeded = seed_table[table_idx]
+    start, end = seeded[:, 0], seeded[:, 1]
+
+    def step(carry, t):
+        s, e = carry
+        pos_in_kmer = lengths - seed_k - 1 - t
+        active = pos_in_kmer >= 0
+        lett = jnp.take_along_axis(
+            kmers, jnp.maximum(pos_in_kmer, 0)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        s, e = rank_ops.backward_step(
+            letters, milestones, prefix_sums, s, e, lett, active
+        )
+        return (s, e), None
+
+    if n_ext > 0:
+        (start, end), _ = jax.lax.scan(
+            step, (start, end), jnp.arange(n_ext, dtype=jnp.int32)
+        )
+    return start, end
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _unseeded_ranges(letters, milestones, prefix_sums, kmers, lengths, *, n_steps):
+    """Full backward search from scratch (no seed table).
+
+    Used for kmers ineligible for the seed table (too short, or ambiguity
+    in the last k letters — AwFmKmerTable.c:4-19) and for the single-query
+    awFmFindSearchRangeForString parity path (which never seeds,
+    AwFmSearch.c:317-358).
+    """
+    b = kmers.shape[0]
+    last = jnp.take_along_axis(kmers, (lengths - 1)[:, None], axis=1)[:, 0].astype(
+        jnp.int32
+    )
+    start = prefix_sums[last]
+    end = prefix_sums[last + 1] - jnp.uint32(1)
+
+    def step(carry, t):
+        s, e = carry
+        pos_in_kmer = lengths - 2 - t
+        active = pos_in_kmer >= 0
+        lett = jnp.take_along_axis(
+            kmers, jnp.maximum(pos_in_kmer, 0)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        s, e = rank_ops.backward_step(
+            letters, milestones, prefix_sums, s, e, lett, active
+        )
+        return (s, e), None
+
+    if n_steps > 0:
+        (start, end), _ = jax.lax.scan(
+            step, (start, end), jnp.arange(n_steps, dtype=jnp.int32)
+        )
+    return start, end
+
+
+@functools.partial(jax.jit, static_argnames=("card", "sentinel", "ratio"))
+def _backtrace_to_sampled(
+    letters, milestones, prefix_sums, positions, *, card, sentinel, ratio
+):
+    """LF-backtrace each BWT position to a sampled one.
+
+    while !sampled(p): p = LF(p); offset++   (AwFmParallelSearch.c:343-354)
+
+    The chain length is unbounded (expected ~ratio), so this is a batched
+    ``while_loop`` with done-masking rather than a fixed-trip scan.
+    Returns (sampled_positions, offsets).
+    """
+    ratio_u = jnp.uint32(ratio)
+
+    def cond(state):
+        _, _, done = state
+        return ~jnp.all(done)
+
+    def body(state):
+        p, off, done = state
+        lett, lf = rank_ops.letter_and_lf_at(
+            letters, milestones, prefix_sums, p, cardinality=card, sentinel=sentinel
+        )
+        p2 = jnp.where(done, p, lf)
+        off2 = jnp.where(done, off, off + jnp.uint32(1))
+        done2 = (p2 % ratio_u) == 0
+        return p2, off2, done2
+
+    done0 = (positions % ratio_u) == 0
+    p, off, _ = jax.lax.while_loop(
+        cond, body, (positions, jnp.zeros_like(positions), done0)
+    )
+    return p, off
+
+
+@functools.partial(
+    jax.jit, static_argnames=("card", "sentinel", "ratio", "bwt_length")
+)
+def _backtrace_resolve(
+    letters, milestones, prefix_sums, sampled_sa, positions, *, card, sentinel, ratio, bwt_length
+):
+    """Backtrace then resolve through the in-memory sampled SA.
+
+    hit = (SA[p / ratio] + offset) % bwtLength  (AwFmSuffixArray.c:189-190)
+    """
+    p, off = _backtrace_to_sampled(
+        letters, milestones, prefix_sums, positions,
+        card=card, sentinel=sentinel, ratio=ratio,
+    )
+    sa_vals = sampled_sa[(p // jnp.uint32(ratio)).astype(jnp.int32)]
+    return (sa_vals + off) % jnp.uint32(bwt_length)
+
+
+# ---------------------------------------------------------------------------
+# Host-side engine
+# ---------------------------------------------------------------------------
+
+class SearchEngine:
+    """Batched count/locate over a device-resident FM index."""
+
+    def __init__(self, index: Union[FmIndex, DeviceIndex]):
+        if isinstance(index, FmIndex):
+            self.host_index = index
+            self.dev = index.to_device()
+        else:
+            self.host_index = None
+            self.dev = index
+        self._ascii_lut = (
+            alpha.AA_ASCII_TO_INDEX
+            if self.dev.alphabet == AlphabetType.AMINO
+            else alpha.NT_ASCII_TO_INDEX
+        )
+
+    # -- encoding -----------------------------------------------------------
+
+    def encode_kmers(self, kmers: Sequence[Union[str, bytes]]):
+        """ASCII kmers -> (padded letter-index matrix, lengths).
+
+        Pads the batch to a power-of-two size and the length axis to a
+        multiple of 4 to bound jit recompiles.
+        """
+        encoded = [
+            self._ascii_lut[np.frombuffer(
+                k.encode() if isinstance(k, str) else k, dtype=np.uint8
+            )]
+            for k in kmers
+        ]
+        lengths = np.array([len(e) for e in encoded], dtype=np.int32)
+        if len(lengths) == 0 or lengths.min() < 1:
+            raise ValueError("kmers must be non-empty")
+        b_pad = _round_up_pow2(len(encoded))
+        l_pad = _round_up(int(lengths.max()), 4)
+        mat = np.zeros((b_pad, l_pad), dtype=np.uint8)
+        for i, e in enumerate(encoded):
+            mat[i, : len(e)] = e
+        lengths_padded = np.ones(b_pad, dtype=np.int32)
+        lengths_padded[: len(lengths)] = lengths
+        return mat, lengths_padded, len(kmers)
+
+    def _seed_eligibility(self, mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """awFmQueryCanUseKmerTable (AwFmKmerTable.c:4-19).
+
+        Eligible iff length >= k and no ambiguity letter in the LAST k
+        letters. Operates on letter indices: ambiguity == cardinality.
+        """
+        k = self.dev.kmer_length_in_seed_table
+        card = self.dev.cardinality
+        b, l = mat.shape
+        ok_len = lengths >= k
+        idxs = np.clip(lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1)
+        last_k = np.take_along_axis(mat, idxs, axis=1)
+        no_ambig = (last_k < card).all(axis=1)
+        return ok_len & no_ambig
+
+    # -- range search -------------------------------------------------------
+
+    def find_ranges_encoded(self, mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """Final BWT ranges for an encoded batch -> (B, 2) uint64 host array."""
+        dev = self.dev
+        k = dev.kmer_length_in_seed_table
+        eligible = self._seed_eligibility(mat, lengths)
+        start = np.empty(mat.shape[0], dtype=np.uint64)
+        end = np.empty(mat.shape[0], dtype=np.uint64)
+
+        def run(sub_mat, sub_len, seeded: bool):
+            b_pad = _round_up_pow2(sub_mat.shape[0])
+            if b_pad != sub_mat.shape[0]:
+                pad = b_pad - sub_mat.shape[0]
+                sub_mat = np.pad(sub_mat, ((0, pad), (0, 0)))
+                sub_len = np.pad(sub_len, (0, pad), constant_values=max(1, k))
+            jm = jnp.asarray(sub_mat)
+            jl = jnp.asarray(sub_len)
+            if seeded:
+                s, e = _seeded_ranges(
+                    dev.letters, dev.milestones, dev.prefix_sums, dev.seed_table,
+                    jm, jl, card=dev.cardinality, seed_k=k,
+                    n_ext=max(0, sub_mat.shape[1] - k),
+                )
+            else:
+                s, e = _unseeded_ranges(
+                    dev.letters, dev.milestones, dev.prefix_sums, jm, jl,
+                    n_steps=sub_mat.shape[1] - 1,
+                )
+            return np.asarray(s, dtype=np.uint64), np.asarray(e, dtype=np.uint64)
+
+        if eligible.all():
+            s, e = run(mat, lengths, True)
+            start, end = s, e
+        elif not eligible.any():
+            s, e = run(mat, lengths, False)
+            start, end = s, e
+        else:
+            idx_e = np.where(eligible)[0]
+            idx_u = np.where(~eligible)[0]
+            s, e = run(mat[idx_e], lengths[idx_e], True)
+            start[idx_e], end[idx_e] = s[: len(idx_e)], e[: len(idx_e)]
+            s, e = run(mat[idx_u], lengths[idx_u], False)
+            start[idx_u], end[idx_u] = s[: len(idx_u)], e[: len(idx_u)]
+        return np.stack([start, end], axis=1)
+
+    def find_ranges(self, kmers: Sequence[Union[str, bytes]]) -> np.ndarray:
+        mat, lengths, n = self.encode_kmers(kmers)
+        return self.find_ranges_encoded(mat, lengths)[:n]
+
+    # -- public count / locate ---------------------------------------------
+
+    def count(self, kmers: Sequence[Union[str, bytes]]) -> np.ndarray:
+        """Occurrences of each kmer (awFmParallelSearchCount parity)."""
+        ranges = self.find_ranges(kmers)
+        s, e = ranges[:, 0], ranges[:, 1]
+        return np.where(s <= e, e - s + 1, 0).astype(np.uint64)
+
+    def locate(self, kmers: Sequence[Union[str, bytes]]) -> List[np.ndarray]:
+        """Database hit positions per kmer (awFmParallelSearchLocate parity).
+
+        Returns, for each kmer, the positions in range order — identical
+        content and order to the reference's positionList.
+        """
+        ranges = self.find_ranges(kmers)
+        s, e = ranges[:, 0], ranges[:, 1]
+        counts = np.where(s <= e, e - s + 1, 0).astype(np.int64)
+        flat = self._flat_positions(s, counts)
+        hits = self.resolve_positions(flat)
+        splits = np.cumsum(counts)[:-1]
+        return [h for h in np.split(hits, splits)]
+
+    @staticmethod
+    def _flat_positions(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.uint64)
+        base = np.repeat(starts.astype(np.uint64), counts)
+        within = np.arange(total, dtype=np.uint64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.uint64), counts
+        )
+        return base + within
+
+    def resolve_positions(self, bwt_positions: np.ndarray) -> np.ndarray:
+        """Backtrace+resolve a flat array of BWT positions to hits."""
+        dev = self.dev
+        n = len(bwt_positions)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        out = np.empty(n, dtype=np.uint64)
+        chunk = _BACKTRACE_CHUNK
+        sa_on_disk = dev.sampled_sa is None
+        if sa_on_disk:
+            if self.host_index is None or self.host_index.file_path is None:
+                raise ValueError(
+                    "suffix array not in memory and no backing file to read "
+                    "from (build or load the index with a file_src)"
+                )
+        for lo in range(0, n, chunk):
+            part = bwt_positions[lo : lo + chunk]
+            pad_n = _round_up_pow2(len(part))
+            padded = np.zeros(pad_n, dtype=np.uint32)
+            padded[: len(part)] = part.astype(np.uint32)
+            if sa_on_disk:
+                p, off = _backtrace_to_sampled(
+                    dev.letters, dev.milestones, dev.prefix_sums,
+                    jnp.asarray(padded),
+                    card=dev.cardinality, sentinel=dev.sentinel, ratio=dev.ratio,
+                )
+                hits = self._resolve_from_file(
+                    np.asarray(p[: len(part)]), np.asarray(off[: len(part)])
+                )
+                out[lo : lo + len(part)] = hits
+            else:
+                hits = _backtrace_resolve(
+                    dev.letters, dev.milestones, dev.prefix_sums, dev.sampled_sa,
+                    jnp.asarray(padded),
+                    card=dev.cardinality, sentinel=dev.sentinel,
+                    ratio=dev.ratio, bwt_length=dev.bwt_length,
+                )
+                out[lo : lo + len(part)] = np.asarray(
+                    hits[: len(part)], dtype=np.uint64
+                )
+        return out
+
+    def _resolve_from_file(self, sampled_positions, offsets) -> np.ndarray:
+        """Resolve sampled-SA values by reading the index file per hit —
+        the on-disk suffix-array mode (awFmGetSuffixArrayValueFromFile,
+        AwFmFile.c:484-522; applied at AwFmSuffixArray.c:192-202)."""
+        from . import suffix_array as sa_mod
+        from .io import awfmi
+
+        index = self.host_index
+        width = sa_mod.value_min_bit_width(index.bwt_length)
+        file_offset = index.suffix_array_file_offset or awfmi.suffix_array_file_offset(
+            index
+        )
+        bwt_length = index.bwt_length
+        ratio = self.dev.ratio
+        out = np.empty(len(sampled_positions), dtype=np.uint64)
+        with open(index.file_path, "rb") as fh:
+            for i, (p, off) in enumerate(zip(sampled_positions, offsets)):
+                val = sa_mod.read_packed_value_from_file(
+                    fh, file_offset, width, int(p) // ratio
+                )
+                out[i] = (val + int(off)) % bwt_length
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Single-query parity API (AwFmSearch.c)
+# ---------------------------------------------------------------------------
+
+def find_search_range_for_string(index: FmIndex, kmer: Union[str, bytes]):
+    """awFmFindSearchRangeForString (AwFmSearch.c:317-358).
+
+    Note: like the reference, this path never uses the kmer seed table.
+    Returns (start_ptr, end_ptr) as Python ints.
+    """
+    eng = SearchEngine(index)
+    mat, lengths, _ = eng.encode_kmers([kmer])
+    s, e = _unseeded_ranges(
+        eng.dev.letters, eng.dev.milestones, eng.dev.prefix_sums,
+        jnp.asarray(mat), jnp.asarray(lengths), n_steps=mat.shape[1] - 1,
+    )
+    return int(np.asarray(s)[0]), int(np.asarray(e)[0])
+
+
+def single_kmer_exists(index: FmIndex, kmer: Union[str, bytes]) -> bool:
+    """awFmSingleKmerExists (AwFmSearch.c:360-367)."""
+    s, e = find_search_range_for_string(index, kmer)
+    return s <= e
+
+
+def create_initial_query_range(index: FmIndex, query: Union[str, bytes]):
+    """awFmCreateInitialQueryRange (AwFmSearch.c:6-25)."""
+    data = query.encode() if isinstance(query, str) else query
+    lett = int(alpha.ascii_to_index(np.frombuffer(data, np.uint8), index.alphabet)[-1])
+    return (
+        int(index.prefix_sums[lett]),
+        int(index.prefix_sums[lett + 1]) - 1,
+    )

@@ -1,0 +1,81 @@
+"""Locate (backtrace + SA resolve) tests.
+
+Models: test/backtraceTest/backtraceTest.c and
+test/parallelSearch/parallelSearchTest.c — every located position set is
+verified against the naive scan oracle, for both alphabets, multiple
+compression ratios, and the on-disk suffix-array path.
+"""
+
+import numpy as np
+import pytest
+
+from avxwindowfmindex_tpu import (
+    AlphabetType,
+    IndexConfiguration,
+    SearchEngine,
+    create_index,
+)
+
+from oracle import match_positions, random_kmer, random_sequence
+
+
+def _cfg(alphabet, k=3, ratio=4):
+    return IndexConfiguration(
+        suffix_array_compression_ratio=ratio,
+        kmer_length_in_seed_table=k,
+        alphabet_type=alphabet,
+    )
+
+
+@pytest.mark.parametrize("alphabet", [AlphabetType.DNA, AlphabetType.AMINO])
+@pytest.mark.parametrize("ratio", [1, 3, 8])
+def test_locate_vs_bruteforce(rng, alphabet, ratio):
+    for _ in range(3):
+        n = int(rng.integers(60, 1200))
+        seq = random_sequence(rng, n, alphabet)
+        index = create_index(seq, _cfg(alphabet, ratio=ratio))
+        engine = SearchEngine(index)
+        kmers = [
+            random_kmer(rng, int(rng.integers(1, 9)), alphabet)
+            for _ in range(60)
+        ]
+        all_hits = engine.locate(kmers)
+        for kmer, hits in zip(kmers, all_hits):
+            want = match_positions(seq, kmer, alphabet)
+            got = np.sort(hits.astype(np.int64))
+            np.testing.assert_array_equal(got, want, err_msg=repr(kmer))
+
+
+def test_locate_every_position_single_letter(rng):
+    # a single-letter kmer hits a large fraction of positions; exercises
+    # long backtrace chains and the sentinel wrap (AwFmSearch.c:237-241)
+    seq = b"AAAAAAAAAACAAAAAAAGAAAAT" * 8
+    index = create_index(seq, _cfg(AlphabetType.DNA, ratio=8))
+    engine = SearchEngine(index)
+    hits = engine.locate([b"A"])[0]
+    want = match_positions(seq, b"A", AlphabetType.DNA)
+    np.testing.assert_array_equal(np.sort(hits.astype(np.int64)), want)
+
+
+def test_locate_order_is_range_order(rng):
+    # positionList order = BWT range order (AwFmParallelSearch.c:333-362)
+    seq = random_sequence(rng, 400, AlphabetType.DNA)
+    index = create_index(seq, _cfg(AlphabetType.DNA))
+    engine = SearchEngine(index)
+    ranges = engine.find_ranges([b"AC"])
+    s, e = int(ranges[0, 0]), int(ranges[0, 1])
+    if s <= e:
+        hits = engine.locate([b"AC"])[0]
+        singles = [
+            engine.resolve_positions(np.array([p], dtype=np.uint64))[0]
+            for p in range(s, e + 1)
+        ]
+        np.testing.assert_array_equal(hits, np.array(singles, dtype=np.uint64))
+
+
+def test_locate_empty_result(rng):
+    seq = b"ACGTACGTACGT"
+    index = create_index(seq, _cfg(AlphabetType.DNA, k=2))
+    engine = SearchEngine(index)
+    hits = engine.locate([b"TTT"])
+    assert len(hits) == 1 and len(hits[0]) == 0

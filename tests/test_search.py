@@ -1,0 +1,114 @@
+"""Search correctness vs brute force (model: test/searchTest/searchTest.c).
+
+Random indices x random kmers; counts and BWT ranges verified against a
+naive position scan over the sanitized sequence.
+"""
+
+import numpy as np
+import pytest
+
+from avxwindowfmindex_tpu import (
+    AlphabetType,
+    IndexConfiguration,
+    SearchEngine,
+    create_index,
+    find_search_range_for_string,
+    single_kmer_exists,
+)
+
+from oracle import count_occurrences, random_kmer, random_sequence
+
+
+def _cfg(alphabet, k=3, ratio=4):
+    return IndexConfiguration(
+        suffix_array_compression_ratio=ratio,
+        kmer_length_in_seed_table=k,
+        alphabet_type=alphabet,
+    )
+
+
+@pytest.mark.parametrize("alphabet", [AlphabetType.DNA, AlphabetType.AMINO])
+def test_count_vs_bruteforce_random(rng, alphabet):
+    for trial in range(5):
+        n = int(rng.integers(50, 2500))
+        seq = random_sequence(rng, n, alphabet)
+        index = create_index(seq, _cfg(alphabet))
+        engine = SearchEngine(index)
+        kmers = [
+            random_kmer(rng, int(rng.integers(1, 11)), alphabet)
+            for _ in range(200)
+        ]
+        counts = engine.count(kmers)
+        for kmer, got in zip(kmers, counts):
+            want = count_occurrences(seq, kmer, alphabet)
+            assert got == want, (kmer, got, want)
+
+
+def test_count_with_ambiguous_kmers(rng):
+    # kmers containing the ambiguity char are seed-table-ineligible and go
+    # through the unseeded path (AwFmParallelSearch.c:240-258); 'x' in the
+    # query matches sanitized ambiguity positions in the database.
+    alphabet = AlphabetType.DNA
+    seq = b"ACGTNNACGTNACGTACGNT" * 10
+    index = create_index(seq, _cfg(alphabet))
+    engine = SearchEngine(index)
+    kmers = [b"xx", b"ACGx", b"xACGT", b"Nx", b"GxT"]
+    counts = engine.count(kmers)
+    for kmer, got in zip(kmers, counts):
+        assert got == count_occurrences(seq, kmer, alphabet), kmer
+
+
+def test_short_kmers_skip_seed_table(rng):
+    # kmers shorter than k search only their own length
+    # (AwFmParallelSearch.c:240-248)
+    alphabet = AlphabetType.DNA
+    seq = random_sequence(rng, 800, alphabet)
+    index = create_index(seq, _cfg(alphabet, k=5))
+    engine = SearchEngine(index)
+    kmers = [b"A", b"CG", b"GAT", b"TTTT"]
+    counts = engine.count(kmers)
+    for kmer, got in zip(kmers, counts):
+        assert got == count_occurrences(seq, kmer, alphabet), kmer
+
+
+def test_mixed_eligible_ineligible_batch(rng):
+    alphabet = AlphabetType.DNA
+    seq = random_sequence(rng, 1500, alphabet)
+    index = create_index(seq, _cfg(alphabet, k=4))
+    engine = SearchEngine(index)
+    kmers = [b"ACGT", b"AC", b"ACGNT", b"TTTTTTT", b"x", b"GATTACA"]
+    counts = engine.count(kmers)
+    for kmer, got in zip(kmers, counts):
+        assert got == count_occurrences(seq, kmer, alphabet), kmer
+
+
+def test_single_query_api(rng):
+    alphabet = AlphabetType.DNA
+    seq = b"GATTACAGATTACAGGGATTACA"
+    index = create_index(seq, _cfg(alphabet, k=2))
+    start, end = find_search_range_for_string(index, "GATTACA")
+    assert end - start + 1 == 3
+    assert single_kmer_exists(index, "GATTACA")
+    assert not single_kmer_exists(index, "GATTACC")
+
+
+def test_kmer_longer_than_sequence(rng):
+    seq = b"ACGT"
+    index = create_index(seq, _cfg(AlphabetType.DNA, k=2))
+    engine = SearchEngine(index)
+    assert engine.count([b"ACGTACGTACGT"])[0] == 0
+
+
+def test_case_insensitive_queries(rng):
+    seq = b"GattacaGATTACA"
+    index = create_index(seq, _cfg(AlphabetType.DNA, k=2))
+    engine = SearchEngine(index)
+    assert engine.count([b"gattaca"])[0] == 2
+    assert engine.count([b"GATTACA"])[0] == 2
+
+
+def test_rna_u_matches_t(rng):
+    seq = b"ACGTACGT"
+    index = create_index(seq, _cfg(AlphabetType.DNA, k=2))
+    engine = SearchEngine(index)
+    assert engine.count([b"ACGU"])[0] == 2
