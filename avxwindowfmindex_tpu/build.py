@@ -87,10 +87,7 @@ def _build_from_sanitized(
         bwt_length=bwt_length,
         bwt_letters=bwt_letters,
         prefix_sums=prefix_sums,
-        kmer_seed_table=np.zeros(
-            (alpha.cardinality(config.alphabet_type) ** config.kmer_length_in_seed_table, 2),
-            dtype=np.uint64,
-        ),
+        kmer_seed_table=None,  # built on device below
         sampled_sa=sampled,
         version_number=CURRENT_VERSION_NUMBER,
         feature_flags=feature_flags,
@@ -100,17 +97,24 @@ def _build_from_sanitized(
 
     # seed table: batched BFS on device using the same backward-step math
     # the search uses (exact parity with the DFS at AwFmCreate.c:407-450).
+    # It STAYS on device; host copies materialize lazily for serde.
+    import dataclasses as _dc
+
     from .ops import seed_table as seed_mod
 
     dev = index.to_device()
-    index.kmer_seed_table = seed_mod.build_seed_table(
-        dev.letters,
-        dev.milestones,
-        dev.prefix_sums,
+    table_dev = seed_mod.build_seed_table_device(
+        dev,
         alpha.cardinality(config.alphabet_type),
         config.kmer_length_in_seed_table,
     )
-    index.to_device(refresh=True)  # refresh the cached device seed table
+    index._device_cache = _dc.replace(dev, seed_table=table_dev)
+
+    import jax
+
+    if jax.default_backend() == "cpu":
+        # no transfer cost on CPU: keep the host view eagerly available
+        index.kmer_seed_table = np.asarray(table_dev).astype(np.uint64)
 
     if file_src is not None:
         from .io import awfmi

@@ -141,7 +141,7 @@ def write_index(index: FmIndex, path: str) -> None:
         fh.write(np.uint64(index.bwt_length).tobytes())
         fh.write(pack_blocks(index).tobytes())
         fh.write(index.prefix_sums.astype("<u8").tobytes())
-        fh.write(index.kmer_seed_table.astype("<u8").tobytes())
+        fh.write(index.seed_table_host().astype("<u8").tobytes())
         if cfg.store_original_sequence:
             seq = index.sequence
             if len(seq) != index.bwt_length - 1:

@@ -129,16 +129,39 @@ class FastaMetadata:
 # ---------------------------------------------------------------------------
 # Device-side view
 # ---------------------------------------------------------------------------
+#
+# The device layout fuses each BWT block into ONE row of uint8 lanes:
+#
+#   nucleotide: [plane0 x32B | plane1 x32B | plane2 x32B |
+#                milestones 5 x u32LE | pad] = 128 B  (128 lanes)
+#   amino:      [plane0..plane4 x32B | milestones 21 x u32LE | pad]
+#               = 256 B  (2 x 128 lanes)
+#
+# Plane byte j holds local positions j*8..j*8+7, bit p%8 = position bit
+# (the same strided information as the reference's 256-bit SIMD planes,
+# AwFmIndex.h:55-65). One gather fetches planes AND milestones; rank is
+# then XOR/OR/NOT + population_count on uint8 VPU lanes — the TPU's
+# masked popcount (AwFmSimdConfig.c:89-114 equivalent, inclusive).
+#
+# uint8 with a 128-lane row is deliberate: measured on TPU v5e, an XLA
+# row gather runs ~3x faster when rows are 128 *elements* than 32
+# (per-row cost is lane-row-bound, nearly independent of byte width).
+
 
 @dataclasses.dataclass
 class DeviceIndex:
-    """Device (jax.Array) view of the index, ready for batched search."""
+    """Device (jax.Array) view of the index, ready for batched search.
 
-    letters: object  # (num_blocks, 256) int8
-    milestones: object  # (num_blocks, A+1) uint32
+    Registered as a jax pytree: array fields are leaves, geometry fields
+    are static metadata (hashed into jit caches).
+    """
+
+    packed: object  # (num_blocks, row_bytes) uint8 fused blocks
     prefix_sums: object  # (A+2,) uint32
     seed_table: object  # (A**k, 2) uint32
-    sampled_sa: object  # (num_samples,) uint32
+    sampled_sa: object  # (num_samples,) uint32, or None (SA on disk)
+    code_masks: object  # (A+2, n_planes) uint8 full-byte letter code masks
+    vec_to_index: object  # (2**n_planes,) int32 compressed-code -> letter
     bwt_length: int
     ratio: int
     kmer_length_in_seed_table: int
@@ -151,6 +174,81 @@ class DeviceIndex:
     @property
     def sentinel(self) -> int:
         return alpha.sentinel_index(self.alphabet)
+
+    @property
+    def n_planes(self) -> int:
+        return alpha.num_bit_planes(self.alphabet)
+
+    @property
+    def milestone_offset(self) -> int:
+        """Byte offset of the milestone u32 array within a row."""
+        return self.n_planes * 32
+
+    @property
+    def row_bytes(self) -> int:
+        return device_row_bytes(self.alphabet)
+
+
+def device_row_bytes(alphabet: AlphabetType) -> int:
+    """Bytes per fused block row: planes*32 + milestones*4, padded to a
+    multiple of 128 (one full uint8 lane row)."""
+    n_planes = alpha.num_bit_planes(alphabet)
+    need = n_planes * 32 + (alpha.cardinality(alphabet) + 1) * 4
+    return ((need + 127) // 128) * 128
+
+
+def _register_device_index_pytree():
+    import jax
+
+    jax.tree_util.register_dataclass(
+        DeviceIndex,
+        data_fields=[
+            "packed",
+            "prefix_sums",
+            "seed_table",
+            "sampled_sa",
+            "code_masks",
+            "vec_to_index",
+        ],
+        meta_fields=["bwt_length", "ratio", "kmer_length_in_seed_table", "alphabet"],
+    )
+
+
+_register_device_index_pytree()
+
+
+def pack_device_blocks(
+    bwt_letters: np.ndarray, milestones: np.ndarray, alphabet: AlphabetType
+) -> np.ndarray:
+    """Fuse bit-planes + milestones into (num_blocks, row_bytes) uint8."""
+    n_planes = alpha.num_bit_planes(alphabet)
+    card = alpha.cardinality(alphabet)
+    row_bytes = device_row_bytes(alphabet)
+    bwt_length = len(bwt_letters)
+    nb = num_blocks_from_bwt_length(bwt_length)
+
+    codes = np.zeros(nb * POSITIONS_PER_BLOCK, dtype=np.uint8)
+    codes[:bwt_length] = alpha.index_to_vector_lut(alphabet)[bwt_letters]
+
+    out = np.zeros((nb, row_bytes), dtype=np.uint8)
+    for b in range(n_planes):
+        bits = ((codes >> b) & 1).reshape(nb, POSITIONS_PER_BLOCK)
+        out[:, b * 32 : (b + 1) * 32] = np.packbits(
+            bits, axis=1, bitorder="little"
+        )
+    ms = milestones[:, : card + 1].astype("<u4")
+    out[:, n_planes * 32 : n_planes * 32 + (card + 1) * 4] = ms.view(
+        np.uint8
+    ).reshape(nb, (card + 1) * 4)
+    return out
+
+
+def device_code_masks(alphabet: AlphabetType) -> np.ndarray:
+    """(A+2, n_planes) uint8: 0xFF/0x00 mask per code bit per letter."""
+    lut = alpha.index_to_vector_lut(alphabet)
+    n_planes = alpha.num_bit_planes(alphabet)
+    bits = (lut[:, None] >> np.arange(n_planes)[None, :]) & 1
+    return (bits * np.uint8(0xFF)).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +266,9 @@ class FmIndex:
     bwt_length: int
     bwt_letters: np.ndarray  # (bwt_length,) uint8 letter indices
     prefix_sums: np.ndarray  # (A+2,) uint64
-    kmer_seed_table: np.ndarray  # (A**k, 2) uint64 [start, end]
+    # (A**k, 2) uint64 [start, end]; may be None while the table lives
+    # only on device (built on TPU) — use seed_table_host() to access.
+    kmer_seed_table: Optional[np.ndarray]
     sampled_sa: Optional[np.ndarray]  # (num_samples,) uint64; None if on disk
     version_number: int = CURRENT_VERSION_NUMBER
     feature_flags: int = 0
@@ -214,6 +314,18 @@ class FmIndex:
         """pos % ratio == 0 (AwFmIndexStruct.c:88-91)."""
         return np.asarray(position) % self.config.suffix_array_compression_ratio == 0
 
+    def seed_table_host(self) -> np.ndarray:
+        """The (A**k, 2) uint64 seed table, materializing from device if
+        it was built there (a slow pull through remote-TPU tunnels —
+        only serde and host-side inspection need it)."""
+        if self.kmer_seed_table is None:
+            if self._device_cache is None:
+                raise ValueError("index has no seed table (not yet built)")
+            self.kmer_seed_table = np.asarray(
+                self._device_cache.seed_table
+            ).astype(np.uint64)
+        return self.kmer_seed_table
+
     # -- host-side milestone/rank helpers (used by builders & oracles) ------
 
     def letters_as_blocks(self) -> np.ndarray:
@@ -254,18 +366,28 @@ class FmIndex:
                 "device path uses uint32 positions; bwtLength >= 2**32 "
                 "requires the int64 escape hatch (not yet implemented)"
             )
-        milestones = self.milestones()[:, : self.cardinality + 1]
+        packed = pack_device_blocks(self.bwt_letters, self.milestones(), self.alphabet)
+        if self.kmer_seed_table is not None:
+            seed_dev = jnp.asarray(self.kmer_seed_table.astype(np.uint32))
+        elif self._device_cache is not None:
+            seed_dev = self._device_cache.seed_table  # device-built table
+        else:
+            # placeholder until the builder attaches the real table
+            seed_dev = jnp.zeros((1, 2), dtype=jnp.uint32)
         dev = DeviceIndex(
-            letters=jnp.asarray(self.letters_as_blocks().astype(np.int8)),
-            milestones=jnp.asarray(milestones.astype(np.uint32)),
+            packed=jnp.asarray(packed),
             prefix_sums=jnp.asarray(self.prefix_sums.astype(np.uint32)),
-            seed_table=jnp.asarray(self.kmer_seed_table.astype(np.uint32)),
+            seed_table=seed_dev,
             # None = suffix array left on disk; locate resolves via file
             # reads (awFmGetSuffixArrayValueFromFile parity)
             sampled_sa=(
                 None
                 if self.sampled_sa is None
                 else jnp.asarray(self.sampled_sa.astype(np.uint32))
+            ),
+            code_masks=jnp.asarray(device_code_masks(self.alphabet)),
+            vec_to_index=jnp.asarray(
+                alpha.vector_to_index_lut(self.alphabet).astype(np.int32)
             ),
             bwt_length=int(self.bwt_length),
             ratio=int(self.config.suffix_array_compression_ratio),

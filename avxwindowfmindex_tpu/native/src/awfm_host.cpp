@@ -1,0 +1,159 @@
+// Native host components for avxwindowfmindex_tpu.
+//
+// awfm_suffix_array: 64-bit SA-IS suffix sorting — the from-scratch
+// replacement for the reference's libdivsufsort dependency (called at
+// AwFmCreate.c:99-100). Induced sorting (Nong, Zhang & Chan 2009),
+// O(n) time, recursing on the reduced LMS-substring problem.
+//
+// Exposed with C linkage for ctypes binding (see ../hostlib.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using idx_t = int64_t;
+
+void get_buckets(const std::vector<idx_t>& counts, std::vector<idx_t>& bkt,
+                 idx_t K, bool end) {
+  idx_t sum = 0;
+  for (idx_t i = 0; i < K; i++) {
+    sum += counts[i];
+    bkt[i] = end ? sum : sum - counts[i];
+  }
+}
+
+template <typename CharT>
+void get_counts(const CharT* s, std::vector<idx_t>& counts, idx_t n, idx_t K) {
+  counts.assign(K, 0);
+  for (idx_t i = 0; i < n; i++) counts[s[i]]++;
+}
+
+// Induce L-type then S-type suffixes from the placed LMS/sorted entries.
+template <typename CharT>
+void induce(const CharT* s, idx_t* sa, const std::vector<bool>& stype,
+            const std::vector<idx_t>& counts, std::vector<idx_t>& bkt,
+            idx_t n, idx_t K) {
+  get_buckets(counts, bkt, K, false);
+  for (idx_t i = 0; i < n; i++) {
+    idx_t j = sa[i] - 1;
+    if (sa[i] > 0 && !stype[j]) sa[bkt[s[j]]++] = j;
+  }
+  get_buckets(counts, bkt, K, true);
+  for (idx_t i = n - 1; i >= 0; i--) {
+    idx_t j = sa[i] - 1;
+    if (sa[i] > 0 && stype[j]) sa[--bkt[s[j]]] = j;
+  }
+}
+
+// SA-IS over s[0..n): requires s[n-1] == 0, unique and smallest.
+template <typename CharT>
+void sais(const CharT* s, idx_t* sa, idx_t n, idx_t K) {
+  std::vector<bool> stype(n);
+  stype[n - 1] = true;
+  for (idx_t i = n - 2; i >= 0; i--)
+    stype[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && stype[i + 1]);
+  auto is_lms = [&](idx_t i) { return i > 0 && stype[i] && !stype[i - 1]; };
+
+  std::vector<idx_t> counts, bkt(K);
+  get_counts(s, counts, n, K);
+
+  // stage 1: place LMS suffixes at their bucket ends, then induce.
+  get_buckets(counts, bkt, K, true);
+  std::fill(sa, sa + n, idx_t(-1));
+  for (idx_t i = 1; i < n; i++)
+    if (is_lms(i)) sa[--bkt[s[i]]] = i;
+  induce(s, sa, stype, counts, bkt, n, K);
+
+  // compact the now-sorted LMS suffixes to the front.
+  idx_t n1 = 0;
+  for (idx_t i = 0; i < n; i++)
+    if (sa[i] > 0 && is_lms(sa[i])) sa[n1++] = sa[i];
+
+  // name LMS substrings; equal substrings share a name.
+  std::fill(sa + n1, sa + n, idx_t(-1));
+  idx_t name = 0, prev = -1;
+  for (idx_t i = 0; i < n1; i++) {
+    idx_t pos = sa[i];
+    bool diff = false;
+    for (idx_t d = 0; d < n; d++) {
+      if (prev < 0 || s[pos + d] != s[prev + d] ||
+          stype[pos + d] != stype[prev + d]) {
+        diff = true;
+        break;
+      }
+      if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) break;
+    }
+    if (diff) {
+      name++;
+      prev = pos;
+    }
+    sa[n1 + pos / 2] = name - 1;
+  }
+  for (idx_t i = n - 1, j = n - 1; i >= n1; i--)
+    if (sa[i] >= 0) sa[j--] = sa[i];
+
+  // recurse if names are not yet unique.
+  idx_t* sa1 = sa;
+  idx_t* s1 = sa + n - n1;
+  if (name < n1) {
+    sais<idx_t>(s1, sa1, n1, name);
+  } else {
+    for (idx_t i = 0; i < n1; i++) sa1[s1[i]] = i;
+  }
+
+  // map the reduced SA back to LMS positions.
+  for (idx_t i = 1, j = 0; i < n; i++)
+    if (is_lms(i)) s1[j++] = i;
+  for (idx_t i = 0; i < n1; i++) sa1[i] = s1[sa1[i]];
+
+  // stage 3: place sorted LMS suffixes, induce the rest.
+  get_buckets(counts, bkt, K, true);
+  std::fill(sa + n1, sa + n, idx_t(-1));
+  for (idx_t i = n1 - 1; i >= 0; i--) {
+    idx_t j = sa[i];
+    sa[i] = -1;
+    sa[--bkt[s[j]]] = j;
+  }
+  induce(s, sa, stype, counts, bkt, n, K);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of `sequence[0..n)` by raw byte order (divsufsort64 call
+// parity). Returns 0 on success.
+int awfm_suffix_array(const uint8_t* sequence, int64_t* sa_out, int64_t n) {
+  if (n <= 0) return -1;
+  if (n == 1) {
+    sa_out[0] = 0;
+    return 0;
+  }
+  bool has_zero = false;
+  for (idx_t i = 0; i < n; i++)
+    if (sequence[i] == 0) {
+      has_zero = true;
+      break;
+    }
+
+  std::vector<idx_t> sa_full(n + 1);
+  if (!has_zero) {
+    // append a 0 sentinel (input is zero-free: sanitized sequences are)
+    std::vector<uint8_t> s(n + 1);
+    std::memcpy(s.data(), sequence, n);
+    s[n] = 0;
+    sais<uint8_t>(s.data(), sa_full.data(), n + 1, 256);
+  } else {
+    // general input: shift bytes by +1 so 0 is free for the sentinel
+    std::vector<uint16_t> s(n + 1);
+    for (idx_t i = 0; i < n; i++) s[i] = uint16_t(sequence[i]) + 1;
+    s[n] = 0;
+    sais<uint16_t>(s.data(), sa_full.data(), n + 1, 257);
+  }
+  // sa_full[0] is the appended sentinel; drop it.
+  std::memcpy(sa_out, sa_full.data() + 1, n * sizeof(int64_t));
+  return 0;
+}
+}

@@ -6,56 +6,122 @@ popcount (AwFmOccurrence.c:8-135, AwFmSimdConfig.c:89-114):
     rank(l, pos) = milestones[pos/256, l]
                  + popcount_inclusive(match_bits(block, l), pos%256)
 
-The TPU formulation keeps the same math but swaps the storage: the BWT is
-a (num_blocks, 256) int8 array of letter indices, so the masked popcount
-becomes a gather + vectorized compare + masked sum on the VPU — a layout
-XLA tiles natively ((256,) = 2x128 lanes). The masked count is INCLUSIVE
-of the query position, matching AwFmSimdConfig.c:91.
+The TPU formulation keeps identical math over the fused uint8 block
+layout (models/index.py): ONE 128-lane row gather per position, then
+pure VPU work on uint8 lanes:
 
-All functions are pure and shape-polymorphic over the batch dimension;
-they are traced inside the jitted search/locate loops in search.py.
+    match_bytes = ~((p0 ^ c0) | (p1 ^ c1) | ...)       # code equality
+    count       = sum(population_count(match & incl_mask))
+
+where c_i is an all-ones/all-zeros byte per code bit — equality against
+the letter's compressed code is equivalent to the reference's per-letter
+AND/ANDNOT recipes (codes are unique; AwFmLetter.c:44-47, 81-87). The
+mask is INCLUSIVE of the query position, matching AwFmSimdConfig.c:91.
+
+Every per-query scalar (code mask, milestone, inverse letter map) is
+computed with arithmetic one-hot selects rather than gathers or
+take_along_axis — on TPU those lower to slow per-row dynamic slices,
+measured at several ms per 512K batch, while the selects are free.
+
+All functions take the DeviceIndex pytree and are shape-polymorphic over
+the batch dimension; they are traced inside the jitted loops in
+search.py.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
+
+from ..models import alphabet as alpha
 
 POSITIONS_PER_BLOCK = 256
-# numpy constant: folded into the trace, never a leaked tracer
-_LOCAL_IOTA_NP = np.arange(POSITIONS_PER_BLOCK, dtype=np.int32)
+_BYTE_IOTA = np.arange(32, dtype=np.int32)  # bytes per 256-bit plane
 
 
-def _local_iota():
-    return _LOCAL_IOTA_NP
+def _gather_rows(dev, positions):
+    """Fetch the fused block rows for a batch of positions.
 
-
-def occurrence(letters, milestones, positions, letter_indices):
-    """Batched occ(l, pos), inclusive of pos.
-
-    Args:
-      letters:     (num_blocks, 256) int8 BWT letters.
-      milestones:  (num_blocks, A+1) uint32 block-start counts.
-      positions:   (B,) uint32 global BWT positions.
-      letter_indices: (B,) int32 letter indices in [0, A] (A = ambiguity).
-    Returns:
-      (B,) uint32 occurrence counts (milestone + in-block inclusive count).
+    Returns (rows, local): rows (B, row_bytes) uint8, local (B,) int32.
+    This row gather is the HBM-bound op; everything else is VPU-cheap.
     """
     blk = (positions // POSITIONS_PER_BLOCK).astype(jnp.int32)
     local = (positions % POSITIONS_PER_BLOCK).astype(jnp.int32)
-    rows = letters[blk]  # (B, 256) gather — the HBM-bound read
-    ms = milestones[blk, letter_indices]
-    match = (rows == letter_indices[:, None].astype(jnp.int8)) & (
-        _local_iota()[None, :] <= local[:, None]
+    return dev.packed[blk], local
+
+
+def _inclusive_mask(local):
+    """(B, 32) uint8 mask keeping bits 0..local inclusive across the 32
+    plane bytes (AwFmSimdConfig.c:89-114 semantics)."""
+    byte_idx = (local >> 3)[:, None]
+    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
+    # (2 << bit) - 1 keeps bits 0..bit inclusive; 2<<7 wraps to 0 in
+    # uint8, making the boundary mask all-ones, exactly as needed.
+    low = (jnp.uint8(2) << bit_idx) - jnp.uint8(1)
+    b = _BYTE_IOTA[None, :]
+    return jnp.where(
+        b < byte_idx, jnp.uint8(0xFF), jnp.where(b == byte_idx, low, jnp.uint8(0))
     )
-    cnt = jnp.sum(match, axis=1, dtype=jnp.int32)
-    return ms + cnt.astype(jnp.uint32)
 
 
-def backward_step(
-    letters, milestones, prefix_sums, start, end, letter_indices,
-    active=None, check_valid=True,
-):
+def _code_mask_bytes(dev, letter_indices):
+    """(B, n_planes) uint8 0xFF/0 masks via arithmetic one-hot select."""
+    lut = np.asarray(alpha.index_to_vector_lut(dev.alphabet))
+    n_planes = dev.n_planes
+    out = []
+    for i in range(n_planes):
+        m = jnp.zeros(letter_indices.shape, dtype=jnp.uint8)
+        for j in range(dev.cardinality + 1):
+            if (lut[j] >> i) & 1:
+                m = m | jnp.where(
+                    letter_indices == j, jnp.uint8(0xFF), jnp.uint8(0)
+                )
+        out.append(m)
+    return out
+
+
+def _match_bytes(dev, rows, letter_indices):
+    """(B, 32) uint8 whose set bits mark positions equal to the letter."""
+    cms = _code_mask_bytes(dev, letter_indices)
+    diff = None
+    for i in range(dev.n_planes):
+        x = rows[:, i * 32 : (i + 1) * 32] ^ cms[i][:, None]
+        diff = x if diff is None else (diff | x)
+    return ~diff
+
+
+def _milestones_u32(dev, rows):
+    """(B, A+1) uint32 milestone counts bitcast out of the fused row."""
+    card = dev.cardinality
+    off = dev.milestone_offset
+    raw = rows[:, off : off + (card + 1) * 4].reshape(-1, card + 1, 4)
+    return lax.bitcast_convert_type(raw, jnp.uint32)
+
+
+def _milestone(dev, rows, letter_indices):
+    """Milestone for each row's letter via arithmetic one-hot select."""
+    ms = _milestones_u32(dev, rows)
+    out = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
+    for j in range(dev.cardinality + 1):
+        out = out + jnp.where(letter_indices == j, ms[:, j], jnp.uint32(0))
+    return out
+
+
+def _count_rows(dev, rows, local, letter_indices):
+    match = _match_bytes(dev, rows, letter_indices)
+    masked = match & _inclusive_mask(local)
+    cnt = jnp.sum(lax.population_count(masked), axis=1, dtype=jnp.int32)
+    return _milestone(dev, rows, letter_indices) + cnt.astype(jnp.uint32)
+
+
+def occurrence(dev, positions, letter_indices):
+    """Batched occ(l, pos), inclusive of pos. letter_indices in [0, A]."""
+    rows, local = _gather_rows(dev, positions)
+    return _count_rows(dev, rows, local, letter_indices)
+
+
+def backward_step(dev, start, end, letter_indices, active=None, check_valid=True):
     """One batched backward-search step (AwFmSearch.c:42-159).
 
     newStart = C[l] + occ(l, startPtr-1)
@@ -65,14 +131,14 @@ def backward_step(
     ``active & (start <= end)`` are updated — this reproduces the
     reference's "stop stepping once the range is invalid" rule
     (AwFmSearch.c:342-356) as a total, maskable operation. The seed-table
-    builder steps unconditionally (check_valid=False), matching the DFS in
-    AwFmCreate.c:434-442 which extends even already-empty ranges.
+    builder steps unconditionally (check_valid=False), matching the DFS
+    in AwFmCreate.c:434-442 which extends even already-empty ranges.
     """
     b = start.shape[0]
-    c = prefix_sums[letter_indices]
+    c = dev.prefix_sums[letter_indices]
     pos = jnp.concatenate([start - jnp.uint32(1), end])
     ll = jnp.concatenate([letter_indices, letter_indices])
-    occ = occurrence(letters, milestones, pos, ll)
+    occ = occurrence(dev, pos, ll)
     new_start = c + occ[:b]
     new_end = c + occ[b:] - jnp.uint32(1)
     keep = None
@@ -85,27 +151,42 @@ def backward_step(
     return jnp.where(keep, new_start, start), jnp.where(keep, new_end, end)
 
 
-def letter_and_lf_at(letters, milestones, prefix_sums, positions, *, cardinality, sentinel):
+def letter_and_lf_at(dev, positions):
     """Read the BWT letter at each position and compute its LF mapping.
 
     Mirrors awFmNucleotideBacktraceBwtPosition / amino variant
-    (AwFmSearch.c:369-427): LF(p) = C[l] + occ(l, p) - 1 with l the letter
-    at p; a sentinel letter maps to position 0.
+    (AwFmSearch.c:369-427): LF(p) = C[l] + occ(l, p) - 1 with l the
+    letter at p; a sentinel letter maps to position 0. The letter is
+    reconstructed by extracting one bit per plane (via a one-hot byte
+    mask + popcount, avoiding per-row dynamic slices) and inverse-mapping
+    the compressed code (AwFmOccurrence.c:170-217 equivalent).
 
     Returns (letter_indices, lf_positions) — both (B,).
     """
-    blk = (positions // POSITIONS_PER_BLOCK).astype(jnp.int32)
-    local = (positions % POSITIONS_PER_BLOCK).astype(jnp.int32)
-    rows = letters[blk]  # (B, 256)
-    lett = jnp.take_along_axis(rows, local[:, None], axis=1)[:, 0].astype(jnp.int32)
-    is_sentinel = lett == sentinel
-    # clamp the sentinel for the gathers below; its result is overridden.
-    lclip = jnp.minimum(lett, cardinality)
-    ms = milestones[blk, lclip]
-    match = (rows == lclip[:, None].astype(jnp.int8)) & (
-        _local_iota()[None, :] <= local[:, None]
+    rows, local = _gather_rows(dev, positions)
+    byte_idx = (local >> 3)[:, None]
+    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
+    onehot = jnp.where(
+        _BYTE_IOTA[None, :] == byte_idx, jnp.uint8(1) << bit_idx, jnp.uint8(0)
     )
-    occ = ms + jnp.sum(match, axis=1, dtype=jnp.int32).astype(jnp.uint32)
-    lf = prefix_sums[lclip] + occ - jnp.uint32(1)
+    code = jnp.zeros(positions.shape, dtype=jnp.int32)
+    for i in range(dev.n_planes):
+        hit = jnp.sum(
+            lax.population_count(rows[:, i * 32 : (i + 1) * 32] & onehot),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        code = code | (hit << i)
+    # inverse code -> letter map, via arithmetic select over the LUT
+    v2i = np.asarray(alpha.vector_to_index_lut(dev.alphabet))
+    lett = jnp.zeros(positions.shape, dtype=jnp.int32)
+    for v in range(1 << dev.n_planes):
+        if v2i[v]:
+            lett = lett + jnp.where(code == v, jnp.int32(v2i[v]), jnp.int32(0))
+    is_sentinel = lett == dev.sentinel
+    # clamp the sentinel for the selects below; its result is overridden.
+    lclip = jnp.minimum(lett, dev.cardinality)
+    occ = _count_rows(dev, rows, local, lclip)
+    lf = dev.prefix_sums[lclip] + occ - jnp.uint32(1)
     lf = jnp.where(is_sentinel, jnp.uint32(0), lf)
     return lett, lf

@@ -2,18 +2,24 @@
 
 The reference fills all |A|^k memoized ranges with a depth-first
 recursion, one backward step per tree edge (AwFmCreate.c:407-450). The
-TPU build performs the identical recurrence breadth-first and batched:
-at depth d it holds the |A|^d ranges of all d-length suffixes and
-extends every one of them by every letter in a single batched backward
-step, producing |A|^(d+1) ranges with the index arithmetic
+TPU build performs the identical recurrence breadth-first, batched, and
+— critically — as ONE compiled device program: a ``fori_loop`` over
+depth operating on a full-size (|A|^k,) range buffer, where entry i at
+depth d+1 reads
 
-    new_index = letter * |A|^d + old_index
+    source = i mod |A|^d,   letter = (i div |A|^d) mod |A|
 
-which matches the reference's ``currentKmerIndex + letter * multiplier``
-(AwFmCreate.c:444-445); the final leaf values are bit-identical,
-including the not-canonical (startPtr > endPtr) values stored for absent
-kmers, because the builder — like the reference DFS — steps ranges
-unconditionally, without a validity check.
+matching the reference's ``currentKmerIndex + letter * multiplier``
+index arithmetic (AwFmCreate.c:444-445). Entries beyond |A|^(d+1) hold
+garbage mid-loop but are recomputed before they are ever read (depth
+d+1 only reads entries < |A|^(d+1)); the final leaf values are
+bit-identical to the reference DFS, including the non-canonical
+(startPtr > endPtr) values stored for absent kmers, because the step is
+applied unconditionally, without a validity check.
+
+Single program + single dispatch matters: the build may run through a
+remote TPU tunnel where every XLA compile and host sync costs seconds.
+The inner work is chunked with ``lax.map`` to bound gather temporaries.
 """
 
 from __future__ import annotations
@@ -26,74 +32,82 @@ import numpy as np
 
 from . import rank as rank_ops
 
-_CHUNK = 1 << 19  # ranges stepped per device dispatch at large depths
+_CHUNK = 1 << 19  # ranges stepped per lax.map chunk (bounds temporaries)
 
 
-@functools.partial(jax.jit, static_argnames=("card",))
-def _extend_all_letters(letters, milestones, prefix_sums, start, end, *, card):
-    """Step each of N ranges by every letter: returns (card*N,) arrays
-    ordered letter-major (new_index = letter * N + old_index)."""
-    n = start.shape[0]
-    start_t = jnp.tile(start, card)
-    end_t = jnp.tile(end, card)
-    letts = jnp.repeat(jnp.arange(card, dtype=jnp.int32), n)
-    return rank_ops.backward_step(
-        letters, milestones, prefix_sums, start_t, end_t, letts,
-        active=None, check_valid=False,
-    )
+@functools.partial(jax.jit, static_argnames=("card", "k", "padded"))
+def _build_seed_table_jit(dev, start0, end0, *, card, k, padded):
+    """Compute all |A|^k ranges on device in one program.
 
-
-@functools.partial(jax.jit, static_argnames=("card",))
-def _extend_chunk(letters, milestones, prefix_sums, start, end, lett_value, *, card):
-    """Step a fixed-size chunk of ranges by one letter (large depths)."""
-    letts = jnp.full(start.shape, lett_value, dtype=jnp.int32)
-    return rank_ops.backward_step(
-        letters, milestones, prefix_sums, start, end, letts,
-        active=None, check_valid=False,
-    )
-
-
-def build_seed_table(
-    letters, milestones, prefix_sums, cardinality: int, k: int
-) -> np.ndarray:
-    """Compute the (|A|^k, 2) uint64 seed table on device.
-
-    Depth-1 ranges come straight from the prefix sums
-    (AwFmCreate.c:410-413): table1[i] = [C[i], C[i+1]-1].
+    start0/end0: (padded,) uint32 with the depth-1 ranges in the first
+    |A| slots (table1[i] = [C[i], C[i+1]-1], AwFmCreate.c:410-413).
     """
-    ps = np.asarray(prefix_sums, dtype=np.uint64)
-    start = ps[:cardinality].astype(np.uint32)
-    end = (ps[1 : cardinality + 1] - 1).astype(np.uint32)
+    idx = jnp.arange(padded, dtype=jnp.int32)
 
-    for _depth in range(1, k):
-        n = len(start)
-        if cardinality * n <= _CHUNK:
-            s, e = _extend_all_letters(
-                letters, milestones, prefix_sums,
-                jnp.asarray(start), jnp.asarray(end), card=cardinality,
+    def depth_body(d, carry):
+        start, end = carry
+        a_d = jnp.int32(card) ** d
+        src = idx % a_d
+        lett = (idx // a_d) % jnp.int32(card)
+        gs = start[src]
+        ge = end[src]
+
+        def chunk_fn(args):
+            s_c, e_c, l_c = args
+            return rank_ops.backward_step(
+                dev, s_c, e_c, l_c, active=None, check_valid=False
             )
-            start = np.asarray(s)
-            end = np.asarray(e)
-        else:
-            new_start = np.empty(cardinality * n, dtype=np.uint32)
-            new_end = np.empty(cardinality * n, dtype=np.uint32)
-            for lett in range(cardinality):
-                for lo in range(0, n, _CHUNK):
-                    hi = min(lo + _CHUNK, n)
-                    pad = _CHUNK - (hi - lo)
-                    s_in = np.pad(start[lo:hi], (0, pad), constant_values=1)
-                    e_in = np.pad(end[lo:hi], (0, pad))
-                    s, e = _extend_chunk(
-                        letters, milestones, prefix_sums,
-                        jnp.asarray(s_in), jnp.asarray(e_in),
-                        np.int32(lett), card=cardinality,
-                    )
-                    new_start[lett * n + lo : lett * n + hi] = np.asarray(
-                        s[: hi - lo]
-                    )
-                    new_end[lett * n + lo : lett * n + hi] = np.asarray(e[: hi - lo])
-            start, end = new_start, new_end
 
-    return np.stack(
-        [start.astype(np.uint64), end.astype(np.uint64)], axis=1
+        n_chunks = padded // _CHUNK if padded % _CHUNK == 0 else 1
+        if n_chunks > 1:
+            s2, e2 = jax.lax.map(
+                chunk_fn,
+                (
+                    gs.reshape(n_chunks, _CHUNK),
+                    ge.reshape(n_chunks, _CHUNK),
+                    lett.reshape(n_chunks, _CHUNK),
+                ),
+            )
+            return s2.reshape(-1), e2.reshape(-1)
+        return chunk_fn((gs, ge, lett))
+
+    start, end = jax.lax.fori_loop(1, k, depth_body, (start0, end0))
+    return start, end
+
+
+def build_seed_table_device(dev, cardinality: int, k: int):
+    """Compute the (|A|^k, 2) uint32 seed table, kept ON DEVICE.
+
+    The result stays device-resident: a genome-scale table is hundreds
+    of MB, and pulling it to the host is pure waste for search (and
+    catastrophically slow through a remote TPU tunnel). Host
+    materialization for serde is lazy (FmIndex.seed_table_host).
+    """
+    total = cardinality**k
+    if total >= 2**31:
+        raise NotImplementedError(
+            f"seed table with |A|^k = {total} exceeds the int32 device "
+            "index range; use a smaller kmerLengthInSeedTable"
+        )
+    padded = total
+    if total > _CHUNK:
+        padded = ((total + _CHUNK - 1) // _CHUNK) * _CHUNK
+
+    ps = np.asarray(dev.prefix_sums, dtype=np.uint64)
+    start0 = np.ones(padded, dtype=np.uint32)  # dummy tail: valid position 1
+    end0 = np.zeros(padded, dtype=np.uint32)
+    start0[:cardinality] = ps[:cardinality].astype(np.uint32)
+    end0[:cardinality] = (ps[1 : cardinality + 1] - 1).astype(np.uint32)
+
+    start, end = _build_seed_table_jit(
+        dev, jnp.asarray(start0), jnp.asarray(end0), card=cardinality, k=k,
+        padded=padded,
+    )
+    return jnp.stack([start[:total], end[:total]], axis=1)
+
+
+def build_seed_table(dev, cardinality: int, k: int) -> np.ndarray:
+    """Host (|A|^k, 2) uint64 seed table (pulls the device result)."""
+    return np.asarray(build_seed_table_device(dev, cardinality, k)).astype(
+        np.uint64
     )

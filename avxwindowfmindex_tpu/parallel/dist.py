@@ -1,0 +1,203 @@
+"""Multi-chip distribution: shard_map data parallelism over the query axis.
+
+The reference's entire scaling story is an OpenMP thread pool on one
+node (AwFmParallelSearch.c:103). The TPU-native design (SURVEY.md §2.2):
+
+  - the index (letters/milestones/prefix-sums/seed-table/sampled-SA) is
+    REPLICATED across the mesh (it is read-only during search);
+  - the query batch is SHARDED over a 1-D "q" mesh axis;
+  - count/range search needs no communication at all;
+  - hit merging uses an ``all_gather`` over ICI when a replicated result
+    is wanted (the north-star collective), otherwise results stay
+    sharded and stream back per-host.
+
+Multi-host: the same code runs under ``jax.distributed`` — each host
+feeds its process-local query shard via
+``jax.make_array_from_process_local_data`` and the mesh spans all hosts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..models.index import DeviceIndex, FmIndex
+from ..search import (
+    SearchEngine,
+    _backtrace_resolve,
+    _round_up,
+    _round_up_pow2,
+    _seeded_ranges,
+    _unseeded_ranges,
+)
+
+
+def make_query_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A 1-D mesh over the query-parallel axis "q"."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), ("q",))
+
+
+def replicate_index(dev: DeviceIndex, mesh: Mesh) -> DeviceIndex:
+    """Place every index array replicated across the mesh."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), dev)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_ranges_fn(mesh: Mesh, seeded: bool, n_steps: int):
+    """Build + cache the jitted shard_map for a (mesh, shape) combo."""
+
+    if seeded:
+        def body(dev, kmers, lengths):
+            s, e = _seeded_ranges(dev, kmers, lengths, n_ext=n_steps)
+            return jnp.stack([s, e], axis=1)
+    else:
+        def body(dev, kmers, lengths):
+            s, e = _unseeded_ranges(dev, kmers, lengths, n_steps=n_steps)
+            return jnp.stack([s, e], axis=1)
+
+    mapped = _shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("q", None), P("q")),
+        out_specs=P("q"),
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_resolve_fn(mesh: Mesh):
+    mapped = _shard_map(
+        _backtrace_resolve, mesh=mesh,
+        in_specs=(P(), P("q")),
+        out_specs=P("q"),
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_count_allgather_fn(mesh: Mesh, n_steps: int):
+    """Count with an all_gather hit merge: every device ends with the
+    full counts vector (the BASELINE.json north-star collective)."""
+
+    def body(dev, kmers, lengths):
+        s, e = _seeded_ranges(dev, kmers, lengths, n_ext=n_steps)
+        counts = jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0))
+        return jax.lax.all_gather(counts, "q", tiled=True)
+
+    # check_vma=False: the all_gather output IS replicated over "q", but
+    # the static varying-mesh-axes check cannot infer that.
+    mapped = _shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("q", None), P("q")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+class DistributedSearchEngine(SearchEngine):
+    """Query-data-parallel search over a device mesh.
+
+    Same API as :class:`SearchEngine`; batches are padded to a multiple
+    of the mesh size and sharded over the "q" axis; the index is
+    replicated once at construction.
+    """
+
+    def __init__(self, index: Union[FmIndex, DeviceIndex], mesh: Optional[Mesh] = None):
+        super().__init__(index)
+        self.mesh = mesh if mesh is not None else make_query_mesh()
+        self.n_dev = self.mesh.devices.size
+        self.dev = replicate_index(self.dev, self.mesh)
+
+    # batch padding must be divisible by the mesh
+    def _pad_batch(self, n: int) -> int:
+        return _round_up(_round_up_pow2(n), self.n_dev)
+
+    def _shard(self, arr: np.ndarray):
+        spec = P("q") if arr.ndim == 1 else P("q", *([None] * (arr.ndim - 1)))
+        return jax.device_put(jnp.asarray(arr), NamedSharding(self.mesh, spec))
+
+    def find_ranges_encoded(self, mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        dev = self.dev
+        k = dev.kmer_length_in_seed_table
+        eligible = self._seed_eligibility(mat, lengths)
+        start = np.empty(mat.shape[0], dtype=np.uint64)
+        end = np.empty(mat.shape[0], dtype=np.uint64)
+
+        def run(sub_mat, sub_len, seeded: bool):
+            b_pad = self._pad_batch(sub_mat.shape[0])
+            if b_pad != sub_mat.shape[0]:
+                pad = b_pad - sub_mat.shape[0]
+                sub_mat = np.pad(sub_mat, ((0, pad), (0, 0)))
+                sub_len = np.pad(sub_len, (0, pad), constant_values=max(1, k))
+            jm = self._shard(sub_mat)
+            jl = self._shard(sub_len)
+            if seeded:
+                fn = _sharded_ranges_fn(
+                    self.mesh, True, max(0, sub_mat.shape[1] - k)
+                )
+            else:
+                fn = _sharded_ranges_fn(self.mesh, False, sub_mat.shape[1] - 1)
+            out = fn(dev, jm, jl)
+            out = np.asarray(out, dtype=np.uint64)
+            return out[:, 0], out[:, 1]
+
+        if eligible.all():
+            start, end = run(mat, lengths, True)
+        elif not eligible.any():
+            start, end = run(mat, lengths, False)
+        else:
+            idx_e = np.where(eligible)[0]
+            idx_u = np.where(~eligible)[0]
+            s, e = run(mat[idx_e], lengths[idx_e], True)
+            start[idx_e], end[idx_e] = s[: len(idx_e)], e[: len(idx_e)]
+            s, e = run(mat[idx_u], lengths[idx_u], False)
+            start[idx_u], end[idx_u] = s[: len(idx_u)], e[: len(idx_u)]
+        return np.stack([start[: mat.shape[0]], end[: mat.shape[0]]], axis=1)
+
+    def resolve_positions(self, bwt_positions: np.ndarray) -> np.ndarray:
+        dev = self.dev
+        n = len(bwt_positions)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        if dev.sampled_sa is None:
+            # on-disk SA is host-side; fall back to the single-device path
+            return super().resolve_positions(bwt_positions)
+        b_pad = self._pad_batch(n)
+        padded = np.zeros(b_pad, dtype=np.uint32)
+        padded[:n] = bwt_positions.astype(np.uint32)
+        fn = _sharded_resolve_fn(self.mesh)
+        hits = fn(dev, self._shard(padded))
+        return np.asarray(hits[:n], dtype=np.uint64)
+
+    def count_replicated(self, kmers: Sequence[Union[str, bytes]]) -> np.ndarray:
+        """Counts merged to every device with all_gather over ICI."""
+        dev = self.dev
+        mat, lengths, n = self.encode_kmers(kmers)
+        if not self._seed_eligibility(mat, lengths).all():
+            raise ValueError("count_replicated requires seed-eligible kmers")
+        b_pad = self._pad_batch(mat.shape[0])
+        if b_pad != mat.shape[0]:
+            mat = np.pad(mat, ((0, b_pad - mat.shape[0]), (0, 0)))
+            lengths = np.pad(
+                lengths, (0, b_pad - len(lengths)),
+                constant_values=dev.kmer_length_in_seed_table,
+            )
+        fn = _sharded_count_allgather_fn(
+            self.mesh, max(0, mat.shape[1] - dev.kmer_length_in_seed_table)
+        )
+        counts = fn(dev, self._shard(mat), self._shard(lengths))
+        return np.asarray(counts[:n], dtype=np.uint64)

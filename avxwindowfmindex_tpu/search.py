@@ -49,10 +49,8 @@ def _round_up(n: int, m: int) -> int:
 # Jitted device kernels
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("card", "seed_k", "n_ext"))
-def _seeded_ranges(
-    letters, milestones, prefix_sums, seed_table, kmers, lengths, *, card, seed_k, n_ext
-):
+@functools.partial(jax.jit, static_argnames=("n_ext",))
+def _seeded_ranges(dev, kmers, lengths, *, n_ext):
     """Seed-table gather + extension scan for seed-eligible kmers.
 
     kmers: (B, L) uint8 letter indices (padded); lengths: (B,) int32.
@@ -61,13 +59,15 @@ def _seeded_ranges(
     remaining letter, lock-step across the batch
     (AwFmParallelSearch.c:273-313).
     """
+    card = dev.cardinality
+    seed_k = dev.kmer_length_in_seed_table
     powers = jnp.asarray(
         [card ** (seed_k - 1 - j) for j in range(seed_k)], dtype=jnp.uint32
     )
     idxs = lengths[:, None] - seed_k + jnp.arange(seed_k, dtype=jnp.int32)[None, :]
     last_k = jnp.take_along_axis(kmers, idxs, axis=1).astype(jnp.uint32)
     table_idx = jnp.sum(last_k * powers[None, :], axis=1).astype(jnp.int32)
-    seeded = seed_table[table_idx]
+    seeded = dev.seed_table[table_idx]
     start, end = seeded[:, 0], seeded[:, 1]
 
     def step(carry, t):
@@ -77,9 +77,7 @@ def _seeded_ranges(
         lett = jnp.take_along_axis(
             kmers, jnp.maximum(pos_in_kmer, 0)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
-        s, e = rank_ops.backward_step(
-            letters, milestones, prefix_sums, s, e, lett, active
-        )
+        s, e = rank_ops.backward_step(dev, s, e, lett, active)
         return (s, e), None
 
     if n_ext > 0:
@@ -90,7 +88,7 @@ def _seeded_ranges(
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
-def _unseeded_ranges(letters, milestones, prefix_sums, kmers, lengths, *, n_steps):
+def _unseeded_ranges(dev, kmers, lengths, *, n_steps):
     """Full backward search from scratch (no seed table).
 
     Used for kmers ineligible for the seed table (too short, or ambiguity
@@ -98,12 +96,11 @@ def _unseeded_ranges(letters, milestones, prefix_sums, kmers, lengths, *, n_step
     awFmFindSearchRangeForString parity path (which never seeds,
     AwFmSearch.c:317-358).
     """
-    b = kmers.shape[0]
     last = jnp.take_along_axis(kmers, (lengths - 1)[:, None], axis=1)[:, 0].astype(
         jnp.int32
     )
-    start = prefix_sums[last]
-    end = prefix_sums[last + 1] - jnp.uint32(1)
+    start = dev.prefix_sums[last]
+    end = dev.prefix_sums[last + 1] - jnp.uint32(1)
 
     def step(carry, t):
         s, e = carry
@@ -112,9 +109,7 @@ def _unseeded_ranges(letters, milestones, prefix_sums, kmers, lengths, *, n_step
         lett = jnp.take_along_axis(
             kmers, jnp.maximum(pos_in_kmer, 0)[:, None], axis=1
         )[:, 0].astype(jnp.int32)
-        s, e = rank_ops.backward_step(
-            letters, milestones, prefix_sums, s, e, lett, active
-        )
+        s, e = rank_ops.backward_step(dev, s, e, lett, active)
         return (s, e), None
 
     if n_steps > 0:
@@ -124,19 +119,18 @@ def _unseeded_ranges(letters, milestones, prefix_sums, kmers, lengths, *, n_step
     return start, end
 
 
-@functools.partial(jax.jit, static_argnames=("card", "sentinel", "ratio"))
-def _backtrace_to_sampled(
-    letters, milestones, prefix_sums, positions, *, card, sentinel, ratio
-):
-    """LF-backtrace each BWT position to a sampled one.
+@jax.jit
+def _backtrace_to_sampled(dev, positions):
+    """LF-backtrace each BWT position to a sampled one, single program.
 
     while !sampled(p): p = LF(p); offset++   (AwFmParallelSearch.c:343-354)
 
     The chain length is unbounded (expected ~ratio), so this is a batched
-    ``while_loop`` with done-masking rather than a fixed-trip scan.
+    ``while_loop`` with done-masking. Used where the host-driven
+    compaction driver below cannot run (inside shard_map bodies).
     Returns (sampled_positions, offsets).
     """
-    ratio_u = jnp.uint32(ratio)
+    ratio_u = jnp.uint32(dev.ratio)
 
     def cond(state):
         _, _, done = state
@@ -144,9 +138,7 @@ def _backtrace_to_sampled(
 
     def body(state):
         p, off, done = state
-        lett, lf = rank_ops.letter_and_lf_at(
-            letters, milestones, prefix_sums, p, cardinality=card, sentinel=sentinel
-        )
+        _, lf = rank_ops.letter_and_lf_at(dev, p)
         p2 = jnp.where(done, p, lf)
         off2 = jnp.where(done, off, off + jnp.uint32(1))
         done2 = (p2 % ratio_u) == 0
@@ -159,22 +151,79 @@ def _backtrace_to_sampled(
     return p, off
 
 
-@functools.partial(
-    jax.jit, static_argnames=("card", "sentinel", "ratio", "bwt_length")
-)
-def _backtrace_resolve(
-    letters, milestones, prefix_sums, sampled_sa, positions, *, card, sentinel, ratio, bwt_length
-):
-    """Backtrace then resolve through the in-memory sampled SA.
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _backtrace_steps(dev, positions, offsets, *, n_steps):
+    """n_steps masked LF steps (fixed-trip scan)."""
+    ratio_u = jnp.uint32(dev.ratio)
 
-    hit = (SA[p / ratio] + offset) % bwtLength  (AwFmSuffixArray.c:189-190)
+    def step(carry, _):
+        p, off = carry
+        done = (p % ratio_u) == 0
+        _, lf = rank_ops.letter_and_lf_at(dev, p)
+        p2 = jnp.where(done, p, lf)
+        off2 = jnp.where(done, off, off + jnp.uint32(1))
+        return (p2, off2), None
+
+    (p, off), _ = jax.lax.scan(step, (positions, offsets), None, length=n_steps)
+    return p, off
+
+
+@jax.jit
+def _undone_count(dev, p):
+    return jnp.sum((p % jnp.uint32(dev.ratio)) != 0, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _gather_undone(dev, p, off, *, m):
+    idx = jnp.nonzero(
+        (p % jnp.uint32(dev.ratio)) != 0, size=m, fill_value=0
+    )[0].astype(jnp.int32)
+    return idx, p[idx], off[idx]
+
+
+@jax.jit
+def _scatter_back(p, off, idx, sub_p, sub_off):
+    return p.at[idx].set(sub_p), off.at[idx].set(sub_off)
+
+
+def backtrace_all(dev, positions):
+    """Backtrace a device batch to sampled positions: (p, off).
+
+    Expected chain length is ~ratio but the max over a large batch is
+    ~ratio*ln(B); a plain masked while_loop therefore pays ~10x the
+    useful work re-scanning finished rows. This driver runs a fixed-trip
+    scan, then repeatedly COMPACTS the undone stragglers into a
+    geometrically smaller dense batch (device-side nonzero/scatter; only
+    a scalar count crosses to the host per round).
     """
-    p, off = _backtrace_to_sampled(
-        letters, milestones, prefix_sums, positions,
-        card=card, sentinel=sentinel, ratio=ratio,
-    )
-    sa_vals = sampled_sa[(p // jnp.uint32(ratio)).astype(jnp.int32)]
-    return (sa_vals + off) % jnp.uint32(bwt_length)
+    n_steps = min(64, max(4, 2 * dev.ratio))
+    zeros = jnp.zeros_like(positions)
+    p, off = _backtrace_steps(dev, positions, zeros, n_steps=n_steps)
+    while True:
+        cnt = int(_undone_count(dev, p))
+        if cnt == 0:
+            return p, off
+        m = _round_up_pow2(cnt, floor=256)
+        if m >= p.shape[0]:
+            p, off = _backtrace_steps(dev, p, off, n_steps=n_steps)
+            continue
+        idx, sub_p, sub_off = _gather_undone(dev, p, off, m=m)
+        sub_p, sub_off = _backtrace_steps(dev, sub_p, sub_off, n_steps=n_steps)
+        p, off = _scatter_back(p, off, idx, sub_p, sub_off)
+
+
+@jax.jit
+def _resolve_samples(dev, p, off):
+    """hit = (SA[p / ratio] + offset) % bwtLength (AwFmSuffixArray.c:189-190)."""
+    sa_vals = dev.sampled_sa[(p // jnp.uint32(dev.ratio)).astype(jnp.int32)]
+    return (sa_vals + off) % jnp.uint32(dev.bwt_length)
+
+
+@jax.jit
+def _backtrace_resolve(dev, positions):
+    """Single-program backtrace + resolve (for shard_map bodies)."""
+    p, off = _backtrace_to_sampled(dev, positions)
+    return _resolve_samples(dev, p, off)
 
 
 # ---------------------------------------------------------------------------
@@ -258,23 +307,16 @@ class SearchEngine:
             jl = jnp.asarray(sub_len)
             if seeded:
                 s, e = _seeded_ranges(
-                    dev.letters, dev.milestones, dev.prefix_sums, dev.seed_table,
-                    jm, jl, card=dev.cardinality, seed_k=k,
-                    n_ext=max(0, sub_mat.shape[1] - k),
+                    dev, jm, jl, n_ext=max(0, sub_mat.shape[1] - k)
                 )
             else:
-                s, e = _unseeded_ranges(
-                    dev.letters, dev.milestones, dev.prefix_sums, jm, jl,
-                    n_steps=sub_mat.shape[1] - 1,
-                )
+                s, e = _unseeded_ranges(dev, jm, jl, n_steps=sub_mat.shape[1] - 1)
             return np.asarray(s, dtype=np.uint64), np.asarray(e, dtype=np.uint64)
 
         if eligible.all():
-            s, e = run(mat, lengths, True)
-            start, end = s, e
+            start, end = run(mat, lengths, True)
         elif not eligible.any():
-            s, e = run(mat, lengths, False)
-            start, end = s, e
+            start, end = run(mat, lengths, False)
         else:
             idx_e = np.where(eligible)[0]
             idx_u = np.where(~eligible)[0]
@@ -282,7 +324,7 @@ class SearchEngine:
             start[idx_e], end[idx_e] = s[: len(idx_e)], e[: len(idx_e)]
             s, e = run(mat[idx_u], lengths[idx_u], False)
             start[idx_u], end[idx_u] = s[: len(idx_u)], e[: len(idx_u)]
-        return np.stack([start, end], axis=1)
+        return np.stack([start[: mat.shape[0]], end[: mat.shape[0]]], axis=1)
 
     def find_ranges(self, kmers: Sequence[Union[str, bytes]]) -> np.ndarray:
         mat, lengths, n = self.encode_kmers(kmers)
@@ -341,23 +383,14 @@ class SearchEngine:
             pad_n = _round_up_pow2(len(part))
             padded = np.zeros(pad_n, dtype=np.uint32)
             padded[: len(part)] = part.astype(np.uint32)
+            p, off = backtrace_all(dev, jnp.asarray(padded))
             if sa_on_disk:
-                p, off = _backtrace_to_sampled(
-                    dev.letters, dev.milestones, dev.prefix_sums,
-                    jnp.asarray(padded),
-                    card=dev.cardinality, sentinel=dev.sentinel, ratio=dev.ratio,
-                )
                 hits = self._resolve_from_file(
                     np.asarray(p[: len(part)]), np.asarray(off[: len(part)])
                 )
                 out[lo : lo + len(part)] = hits
             else:
-                hits = _backtrace_resolve(
-                    dev.letters, dev.milestones, dev.prefix_sums, dev.sampled_sa,
-                    jnp.asarray(padded),
-                    card=dev.cardinality, sentinel=dev.sentinel,
-                    ratio=dev.ratio, bwt_length=dev.bwt_length,
-                )
+                hits = _resolve_samples(dev, p, off)
                 out[lo : lo + len(part)] = np.asarray(
                     hits[: len(part)], dtype=np.uint64
                 )
@@ -400,8 +433,7 @@ def find_search_range_for_string(index: FmIndex, kmer: Union[str, bytes]):
     eng = SearchEngine(index)
     mat, lengths, _ = eng.encode_kmers([kmer])
     s, e = _unseeded_ranges(
-        eng.dev.letters, eng.dev.milestones, eng.dev.prefix_sums,
-        jnp.asarray(mat), jnp.asarray(lengths), n_steps=mat.shape[1] - 1,
+        eng.dev, jnp.asarray(mat), jnp.asarray(lengths), n_steps=mat.shape[1] - 1
     )
     return int(np.asarray(s)[0]), int(np.asarray(e)[0])
 

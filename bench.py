@@ -1,0 +1,162 @@
+"""Headline benchmark: batched k-mer search throughput on TPU.
+
+Mirrors the reference's measurement harness (tuning/search/timeSearch.c:
+sample valid kmers from the source sequence, time
+awFmParallelSearchLocate/Count averaged over 4 runs) on the flagship
+BASELINE.json config: 25-mer nucleotide count+locate over a
+genome-scale index, seed table k=12, SA ratio 8.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "queries/s", "vs_baseline": N}
+
+vs_baseline denominator: the reference's 64-thread AVX2 CPU throughput
+for this workload. The repo publishes no numbers (BASELINE.md), so we
+use a cost-model estimate pinned here for cross-round comparability:
+each seeded 25-mer does 13 extension steps x 2 block fetches; a 2-socket
+64-thread x86 server sustains ~150M random cache-line fetches/s from
+DRAM, giving ~2.5M locate-queries/s (count ~3.5M/s). These match the
+rank-step cost model in BASELINE.md and err generous toward the CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import sys
+
+import numpy as np
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+BASELINE_COUNT_QPS = 3.5e6
+BASELINE_LOCATE_QPS = 2.5e6
+
+NUM_BASES = int(os.environ.get("AWFM_BENCH_BASES", 64_000_000))
+NUM_QUERIES = int(os.environ.get("AWFM_BENCH_QUERIES", 1_000_000))
+KMER_LEN = int(os.environ.get("AWFM_BENCH_KMER_LEN", 25))
+SEED_K = int(os.environ.get("AWFM_BENCH_SEED_K", 12))
+RUNS = 4  # timeSearch.c:63-85 averages 4 runs
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from avxwindowfmindex_tpu import IndexConfiguration, AlphabetType, SearchEngine, create_index
+    from avxwindowfmindex_tpu.search import (
+        _resolve_samples,
+        _seeded_ranges,
+        backtrace_all,
+    )
+
+    t_start = time.time()
+    rng = np.random.default_rng(1234)
+    seq_arr = rng.choice(np.frombuffer(b"acgt", np.uint8), size=NUM_BASES)
+    cfg = IndexConfiguration(
+        suffix_array_compression_ratio=8,
+        kmer_length_in_seed_table=SEED_K,
+        alphabet_type=AlphabetType.DNA,
+    )
+    _log(f"building index: {NUM_BASES} bases, seed k={SEED_K}")
+    t0 = time.time()
+    index = create_index(seq_arr.tobytes(), cfg)
+    build_s = time.time() - t0
+    _log(f"index built in {build_s:.1f}s")
+    dev = index.to_device()
+
+    # sample query kmers from the sequence (guaranteed hits, like
+    # timeSearch.c's kmer sampling)
+    starts = rng.integers(0, NUM_BASES - KMER_LEN, size=NUM_QUERIES)
+    windows = np.lib.stride_tricks.sliding_window_view(seq_arr, KMER_LEN)
+    kmer_mat_ascii = windows[starts]
+    from avxwindowfmindex_tpu.models import alphabet as alpha
+
+    mat = alpha.NT_ASCII_TO_INDEX[kmer_mat_ascii]
+    lengths = np.full(NUM_QUERIES, KMER_LEN, dtype=np.int32)
+    jm = jnp.asarray(mat)
+    jl = jnp.asarray(lengths)
+    n_ext = KMER_LEN - SEED_K
+
+    @jax.jit
+    def count_step(jm, jl):
+        s, e = _seeded_ranges(dev, jm, jl, n_ext=n_ext)
+        return jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0)), s
+
+    # warmup/compile
+    _log("compiling count_step")
+    counts, s = count_step(jm, jl)
+    counts.block_until_ready()
+    _log("count_step compiled")
+
+    times = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        counts, s = count_step(jm, jl)
+        counts.block_until_ready()
+        times.append(time.time() - t0)
+    count_qps = NUM_QUERIES / float(np.mean(times))
+
+    # locate: resolve the first hit of every query (range start), the
+    # per-hit backtrace cost; full-list locate scales with total hits.
+    @jax.jit
+    def ranges_step(jm, jl):
+        s, e = _seeded_ranges(dev, jm, jl, n_ext=n_ext)
+        valid = s <= e
+        return jnp.where(valid, s, jnp.uint32(0)), valid
+
+    def locate_step(jm, jl):
+        pos, valid = ranges_step(jm, jl)
+        p, off = backtrace_all(dev, pos)
+        hits = _resolve_samples(dev, p, off)
+        return jnp.where(valid, hits, jnp.uint32(0))
+
+    _log("compiling locate_step")
+    hits = locate_step(jm, jl)
+    hits.block_until_ready()
+    _log("locate_step compiled")
+    times = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        hits = locate_step(jm, jl)
+        hits.block_until_ready()
+        times.append(time.time() - t0)
+    locate_qps = NUM_QUERIES / float(np.mean(times))
+
+    # correctness spot check on a small subsample vs positions sampled in
+    sample = rng.integers(0, NUM_QUERIES, size=64)
+    engine = SearchEngine(index)
+    sample_kmers = [kmer_mat_ascii[i].tobytes() for i in sample]
+    check = engine.count(sample_kmers)
+    assert (check >= 1).all(), "sampled kmers must occur at least once"
+
+    meta = {
+        "device": str(jax.devices()[0]),
+        "num_bases": NUM_BASES,
+        "num_queries": NUM_QUERIES,
+        "kmer_len": KMER_LEN,
+        "seed_k": SEED_K,
+        "build_seconds": round(build_s, 2),
+        "count_qps": round(count_qps),
+        "locate_first_hit_qps": round(locate_qps),
+        "total_seconds": round(time.time() - t_start, 1),
+    }
+    print(json.dumps({"meta": meta}))
+    print(
+        json.dumps(
+            {
+                "metric": "nt25_locate_queries_per_sec",
+                "value": round(locate_qps),
+                "unit": "queries/s",
+                "vs_baseline": round(locate_qps / BASELINE_LOCATE_QPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

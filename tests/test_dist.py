@@ -1,0 +1,75 @@
+"""Distributed (shard_map) search parity on the 8-device CPU mesh.
+
+The reference has nothing distributed to test (SURVEY.md §4); these are
+the multi-device tests the TPU design requires: sharded results must be
+bit-identical to single-device results, at every mesh size.
+"""
+
+import numpy as np
+import pytest
+
+from avxwindowfmindex_tpu import (
+    AlphabetType,
+    IndexConfiguration,
+    SearchEngine,
+    create_index,
+)
+from avxwindowfmindex_tpu.parallel.dist import (
+    DistributedSearchEngine,
+    make_query_mesh,
+)
+
+from oracle import random_kmer, random_sequence
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(7)
+    seq = random_sequence(rng, 3000, AlphabetType.DNA)
+    cfg = IndexConfiguration(
+        suffix_array_compression_ratio=4,
+        kmer_length_in_seed_table=3,
+        alphabet_type=AlphabetType.DNA,
+    )
+    return seq, create_index(seq, cfg)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_count_matches_single_device(built, rng, n_dev):
+    seq, index = built
+    mesh = make_query_mesh(n_dev)
+    dist = DistributedSearchEngine(index, mesh)
+    single = SearchEngine(index)
+    kmers = [random_kmer(rng, int(rng.integers(1, 9)), AlphabetType.DNA)
+             for _ in range(100)]
+    np.testing.assert_array_equal(dist.count(kmers), single.count(kmers))
+
+
+def test_sharded_locate_matches_single_device(built, rng):
+    seq, index = built
+    dist = DistributedSearchEngine(index, make_query_mesh(8))
+    single = SearchEngine(index)
+    kmers = [random_kmer(rng, int(rng.integers(2, 7)), AlphabetType.DNA)
+             for _ in range(40)]
+    got = dist.locate(kmers)
+    want = single.locate(kmers)
+    for kmer, a, b in zip(kmers, got, want):
+        np.testing.assert_array_equal(a, b, err_msg=repr(kmer))
+
+
+def test_count_replicated_allgather(built, rng):
+    seq, index = built
+    dist = DistributedSearchEngine(index, make_query_mesh(8))
+    single = SearchEngine(index)
+    kmers = [random_kmer(rng, 6, AlphabetType.DNA) for _ in range(64)]
+    np.testing.assert_array_equal(
+        dist.count_replicated(kmers), single.count(kmers)
+    )
+
+
+def test_mixed_eligibility_sharded(built, rng):
+    seq, index = built
+    dist = DistributedSearchEngine(index, make_query_mesh(4))
+    single = SearchEngine(index)
+    kmers = [b"ACGT", b"AC", b"ACGNT", b"TTTTTTT", b"x", b"GATTACA"]
+    np.testing.assert_array_equal(dist.count(kmers), single.count(kmers))

@@ -1,0 +1,63 @@
+"""Native SA-IS parity vs the NumPy doubling implementation."""
+
+import numpy as np
+import pytest
+
+from avxwindowfmindex_tpu import suffix_array as sa_mod
+from avxwindowfmindex_tpu.native import hostlib
+
+from oracle import random_sequence
+from avxwindowfmindex_tpu.models.config import AlphabetType
+
+pytestmark = pytest.mark.skipif(
+    not hostlib.available(), reason="native host library not built"
+)
+
+
+def test_sais_matches_numpy_random(rng):
+    for _ in range(30):
+        n = int(rng.integers(2, 3000))
+        seq = random_sequence(rng, n, AlphabetType.DNA) + b"$"
+        arr = np.frombuffer(seq, dtype=np.uint8)
+        got = hostlib.suffix_array(arr)
+        want = sa_mod.build_suffix_array_numpy(arr)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sais_degenerate_runs():
+    for seq in [b"a$", b"aa$", b"a" * 1000 + b"$", b"abab" * 250 + b"$",
+                b"zyxw" * 100 + b"$", b"\x01\x02\x01\x02$"]:
+        arr = np.frombuffer(seq, dtype=np.uint8)
+        got = hostlib.suffix_array(arr)
+        want = sa_mod.build_suffix_array_numpy(arr)
+        np.testing.assert_array_equal(got, want, err_msg=repr(seq[:20]))
+
+
+def test_sais_with_zero_bytes():
+    # general-input path (bytes shifted +1 internally)
+    seq = b"ban\x00ana\x00banana$"
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    got = hostlib.suffix_array(arr)
+    want = sa_mod.build_suffix_array_numpy(arr)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sais_amino(rng):
+    seq = random_sequence(rng, 5000, AlphabetType.AMINO) + b"$"
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        hostlib.suffix_array(arr), sa_mod.build_suffix_array_numpy(arr)
+    )
+
+
+def test_build_uses_native_backend(rng):
+    from avxwindowfmindex_tpu import AlphabetType as AT
+    from avxwindowfmindex_tpu import IndexConfiguration, create_index
+
+    seq = random_sequence(rng, 2000, AT.DNA)
+    cfg = IndexConfiguration(4, 3, AT.DNA)
+    a = create_index(seq, cfg, sa_backend="native")
+    b = create_index(seq, cfg, sa_backend="numpy")
+    np.testing.assert_array_equal(a.bwt_letters, b.bwt_letters)
+    np.testing.assert_array_equal(a.sampled_sa, b.sampled_sa)
+    np.testing.assert_array_equal(a.kmer_seed_table, b.kmer_seed_table)
