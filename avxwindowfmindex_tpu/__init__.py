@@ -43,10 +43,27 @@ from .models.index import (
 )
 from .search import (
     SearchEngine,
+    backtrace_return_previous_letter_index,
     create_initial_query_range,
+    find_database_hit_position_single,
+    find_database_hit_positions,
     find_search_range_for_string,
     single_kmer_exists,
 )
+
+
+def save_artifact(index, path: str) -> None:
+    """Serialize to the native .awfmx NPZ artifact (fast load path)."""
+    from .io import artifact
+
+    artifact.save_artifact(index, path)
+
+
+def load_artifact(path: str):
+    """Load a native .awfmx NPZ artifact."""
+    from .io import artifact
+
+    return artifact.load_artifact(path)
 
 
 def read_index_from_file(path: str, keep_suffix_array_in_memory: bool = True):
@@ -94,6 +111,11 @@ __all__ = [
     "parallel_search_count",
     "parallel_search_locate",
     "find_search_range_for_string",
+    "find_database_hit_positions",
+    "find_database_hit_position_single",
+    "backtrace_return_previous_letter_index",
+    "save_artifact",
+    "load_artifact",
     "single_kmer_exists",
     "create_initial_query_range",
     "search_range_length",

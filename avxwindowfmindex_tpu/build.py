@@ -107,6 +107,7 @@ def _build_from_sanitized(
         dev,
         alpha.cardinality(config.alphabet_type),
         config.kmer_length_in_seed_table,
+        prefix_sums_host=prefix_sums,
     )
     index._device_cache = _dc.replace(dev, seed_table=table_dev)
 

@@ -1,0 +1,89 @@
+"""Native index artifact format (.awfmx): a compressed NPZ container.
+
+The `.awfmi` format (io/awfmi.py) is kept byte-compatible with the
+reference for interoperability; this native format is the fast path for
+TPU deployments — arrays load directly into the host model with no
+bit-plane unpacking, and it preserves everything including the device
+layout inputs.
+
+Contents: config scalars, BWT letter indices, prefix sums, seed table,
+sampled suffix array, optional original sequence and FASTA metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..models.config import AlphabetType, IndexConfiguration
+from ..models.index import FastaMetadata, FmIndex
+
+_FORMAT_VERSION = 1
+
+
+def save_artifact(index: FmIndex, path: str) -> None:
+    """Serialize to the native .awfmx (NPZ) artifact."""
+    if index.sampled_sa is None:
+        raise ValueError("cannot serialize: sampled suffix array not in memory")
+    cfg = index.config
+    payload = {
+        "format_version": np.int64(_FORMAT_VERSION),
+        "awfmi_version": np.int64(index.version_number),
+        "feature_flags": np.int64(index.feature_flags),
+        "ratio": np.int64(cfg.suffix_array_compression_ratio),
+        "seed_k": np.int64(cfg.kmer_length_in_seed_table),
+        "alphabet": np.int64(int(cfg.alphabet_type)),
+        "store_original_sequence": np.int64(int(cfg.store_original_sequence)),
+        "bwt_length": np.int64(index.bwt_length),
+        "bwt_letters": index.bwt_letters,
+        "prefix_sums": index.prefix_sums,
+        "kmer_seed_table": index.seed_table_host(),
+        "sampled_sa": index.sampled_sa,
+    }
+    if index.sequence is not None:
+        payload["sequence"] = np.frombuffer(index.sequence, dtype=np.uint8)
+    if index.fasta_metadata is not None:
+        md = index.fasta_metadata
+        payload["fasta_headers"] = np.frombuffer(md.headers, dtype=np.uint8)
+        payload["fasta_header_ends"] = md.header_ends
+        payload["fasta_sequence_ends"] = md.sequence_ends
+    np.savez_compressed(path, **payload)
+
+
+def load_artifact(path: str) -> FmIndex:
+    """Load a native .awfmx (NPZ) artifact."""
+    with np.load(path) as z:
+        version = int(z["format_version"])
+        if version != _FORMAT_VERSION:
+            raise ValueError(f"{path}: unsupported artifact version {version}")
+        cfg = IndexConfiguration(
+            suffix_array_compression_ratio=int(z["ratio"]),
+            kmer_length_in_seed_table=int(z["seed_k"]),
+            alphabet_type=AlphabetType(int(z["alphabet"])),
+            keep_suffix_array_in_memory=True,
+            store_original_sequence=bool(int(z["store_original_sequence"])),
+        )
+        sequence: Optional[bytes] = None
+        if "sequence" in z:
+            sequence = z["sequence"].tobytes()
+        metadata: Optional[FastaMetadata] = None
+        if "fasta_sequence_ends" in z:
+            metadata = FastaMetadata(
+                headers=z["fasta_headers"].tobytes(),
+                header_ends=z["fasta_header_ends"].copy(),
+                sequence_ends=z["fasta_sequence_ends"].copy(),
+            )
+        return FmIndex(
+            config=cfg,
+            bwt_length=int(z["bwt_length"]),
+            bwt_letters=z["bwt_letters"].copy(),
+            prefix_sums=z["prefix_sums"].copy(),
+            kmer_seed_table=z["kmer_seed_table"].copy(),
+            sampled_sa=z["sampled_sa"].copy(),
+            version_number=int(z["awfmi_version"]),
+            feature_flags=int(z["feature_flags"]),
+            sequence=sequence,
+            fasta_metadata=metadata,
+            file_path=None,
+        )

@@ -2,86 +2,81 @@
 
 The reference fills all |A|^k memoized ranges with a depth-first
 recursion, one backward step per tree edge (AwFmCreate.c:407-450). The
-TPU build performs the identical recurrence breadth-first, batched, and
-— critically — as ONE compiled device program: a ``fori_loop`` over
-depth operating on a full-size (|A|^k,) range buffer, where entry i at
-depth d+1 reads
+TPU build performs the identical recurrence breadth-first and batched:
+at depth d it holds the |A|^d ranges of all d-length suffixes and
+extends every one of them by every letter in a single batched backward
+step, producing |A|^(d+1) ranges with the index arithmetic
 
-    source = i mod |A|^d,   letter = (i div |A|^d) mod |A|
+    new_index = letter * |A|^d + old_index
 
-matching the reference's ``currentKmerIndex + letter * multiplier``
-index arithmetic (AwFmCreate.c:444-445). Entries beyond |A|^(d+1) hold
-garbage mid-loop but are recomputed before they are ever read (depth
-d+1 only reads entries < |A|^(d+1)); the final leaf values are
-bit-identical to the reference DFS, including the non-canonical
-(startPtr > endPtr) values stored for absent kmers, because the step is
-applied unconditionally, without a validity check.
+which matches the reference's ``currentKmerIndex + letter * multiplier``
+(AwFmCreate.c:444-445); the final leaf values are bit-identical,
+including the not-canonical (startPtr > endPtr) values stored for absent
+kmers, because the builder — like the reference DFS — steps ranges
+unconditionally, without a validity check.
 
-Single program + single dispatch matters: the build may run through a
-remote TPU tunnel where every XLA compile and host sync costs seconds.
-The inner work is chunked with ``lax.map`` to bound gather temporaries.
+Engineering constraints (measured on a remote-tunnel TPU v5e):
+  - all ranges stay DEVICE-RESIDENT between depths (a host round trip
+    costs seconds; bulk device->host runs ~0.3 MB/s);
+  - each depth is one (or a few) dispatches of a SIMPLE program — a
+    single fused monolith (fori_loop + lax.map) took minutes to compile
+    remotely, while per-depth gather+elementwise programs compile in
+    ~1 s each and hit the persistent compilation cache on later builds.
 """
 
 from __future__ import annotations
 
-import functools
+import os
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+_DEBUG_TIMING = bool(os.environ.get("AWFM_DEBUG_TIMING"))
+
 from . import rank as rank_ops
 
-_CHUNK = 1 << 19  # ranges stepped per lax.map chunk (bounds temporaries)
+# Ranges stepped per dispatch at the deepest levels; bounds the gather
+# temporaries (each range costs two fused-row reads plus ~6x that in
+# elementwise temporaries; 2^21 ranges keep a dispatch under ~2 GB —
+# oversubscribing HBM sends XLA into a pathological spill regime
+# measured at 100x slowdown).
+_CHUNK = 1 << 21
 
 
-@functools.partial(jax.jit, static_argnames=("card", "k", "padded"))
-def _build_seed_table_jit(dev, start0, end0, *, card, k, padded):
-    """Compute all |A|^k ranges on device in one program.
-
-    start0/end0: (padded,) uint32 with the depth-1 ranges in the first
-    |A| slots (table1[i] = [C[i], C[i+1]-1], AwFmCreate.c:410-413).
-    """
-    idx = jnp.arange(padded, dtype=jnp.int32)
-
-    def depth_body(d, carry):
-        start, end = carry
-        a_d = jnp.int32(card) ** d
-        src = idx % a_d
-        lett = (idx // a_d) % jnp.int32(card)
-        gs = start[src]
-        ge = end[src]
-
-        def chunk_fn(args):
-            s_c, e_c, l_c = args
-            return rank_ops.backward_step(
-                dev, s_c, e_c, l_c, active=None, check_valid=False
-            )
-
-        n_chunks = padded // _CHUNK if padded % _CHUNK == 0 else 1
-        if n_chunks > 1:
-            s2, e2 = jax.lax.map(
-                chunk_fn,
-                (
-                    gs.reshape(n_chunks, _CHUNK),
-                    ge.reshape(n_chunks, _CHUNK),
-                    lett.reshape(n_chunks, _CHUNK),
-                ),
-            )
-            return s2.reshape(-1), e2.reshape(-1)
-        return chunk_fn((gs, ge, lett))
-
-    start, end = jax.lax.fori_loop(1, k, depth_body, (start0, end0))
-    return start, end
+@jax.jit
+def _extend_all_letters(dev, start, end):
+    """Step each of N ranges by every letter: returns (card*N,) arrays
+    ordered letter-major (new_index = letter * N + old_index)."""
+    card = dev.cardinality
+    n = start.shape[0]
+    start_t = jnp.tile(start, card)
+    end_t = jnp.tile(end, card)
+    letts = jnp.repeat(jnp.arange(card, dtype=jnp.int32), n)
+    return rank_ops.backward_step(
+        dev, start_t, end_t, letts, active=None, check_valid=False
+    )
 
 
-def build_seed_table_device(dev, cardinality: int, k: int):
+@jax.jit
+def _extend_chunk(dev, start, end, lett_value):
+    """Step a chunk of ranges by one letter (deep levels)."""
+    letts = jnp.full(start.shape, lett_value, dtype=jnp.int32)
+    return rank_ops.backward_step(
+        dev, start, end, letts, active=None, check_valid=False
+    )
+
+
+def build_seed_table_device(dev, cardinality: int, k: int, prefix_sums_host=None):
     """Compute the (|A|^k, 2) uint32 seed table, kept ON DEVICE.
 
-    The result stays device-resident: a genome-scale table is hundreds
-    of MB, and pulling it to the host is pure waste for search (and
-    catastrophically slow through a remote TPU tunnel). Host
+    Depth-1 ranges come straight from the prefix sums
+    (AwFmCreate.c:410-413): table1[i] = [C[i], C[i+1]-1]. Host
     materialization for serde is lazy (FmIndex.seed_table_host).
+
+    Pass ``prefix_sums_host`` when available: a device->host pull — even
+    of a few bytes — can stall for minutes through a remote TPU tunnel.
     """
     total = cardinality**k
     if total >= 2**31:
@@ -89,21 +84,39 @@ def build_seed_table_device(dev, cardinality: int, k: int):
             f"seed table with |A|^k = {total} exceeds the int32 device "
             "index range; use a smaller kmerLengthInSeedTable"
         )
-    padded = total
-    if total > _CHUNK:
-        padded = ((total + _CHUNK - 1) // _CHUNK) * _CHUNK
+    if prefix_sums_host is not None:
+        ps = np.asarray(prefix_sums_host, dtype=np.uint64)
+    else:
+        ps = np.asarray(dev.prefix_sums, dtype=np.uint64)
+    start = jnp.asarray(ps[:cardinality].astype(np.uint32))
+    end = jnp.asarray((ps[1 : cardinality + 1] - 1).astype(np.uint32))
 
-    ps = np.asarray(dev.prefix_sums, dtype=np.uint64)
-    start0 = np.ones(padded, dtype=np.uint32)  # dummy tail: valid position 1
-    end0 = np.zeros(padded, dtype=np.uint32)
-    start0[:cardinality] = ps[:cardinality].astype(np.uint32)
-    end0[:cardinality] = (ps[1 : cardinality + 1] - 1).astype(np.uint32)
+    for _depth in range(1, k):
+        t0 = time.time()
+        n = start.shape[0]
+        if cardinality * n <= _CHUNK:
+            start, end = _extend_all_letters(dev, start, end)
+        else:
+            starts, ends = [], []
+            for lett in range(cardinality):
+                for lo in range(0, n, _CHUNK):
+                    hi = min(lo + _CHUNK, n)
+                    s, e = _extend_chunk(
+                        dev, start[lo:hi], end[lo:hi], np.int32(lett)
+                    )
+                    starts.append(s)
+                    ends.append(e)
+            start = jnp.concatenate(starts)
+            end = jnp.concatenate(ends)
+        if _DEBUG_TIMING:
+            jax.block_until_ready(start)
+            print(
+                f"[seed] depth {_depth}: out={cardinality * n} "
+                f"{time.time() - t0:.2f}s",
+                flush=True,
+            )
 
-    start, end = _build_seed_table_jit(
-        dev, jnp.asarray(start0), jnp.asarray(end0), card=cardinality, k=k,
-        padded=padded,
-    )
-    return jnp.stack([start[:total], end[:total]], axis=1)
+    return jnp.stack([start, end], axis=1)
 
 
 def build_seed_table(dev, cardinality: int, k: int) -> np.ndarray:

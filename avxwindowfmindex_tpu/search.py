@@ -424,6 +424,47 @@ class SearchEngine:
 # Single-query parity API (AwFmSearch.c)
 # ---------------------------------------------------------------------------
 
+def find_database_hit_positions(index: FmIndex, start_ptr: int, end_ptr: int):
+    """awFmFindDatabaseHitPositions (AwFmSearch.c:161-246).
+
+    Backtraces every BWT position in [start_ptr, end_ptr] and resolves it
+    to a database sequence position. Returns a uint64 array (empty for an
+    invalid range).
+    """
+    if start_ptr > end_ptr:
+        return np.empty(0, dtype=np.uint64)
+    eng = SearchEngine(index)
+    positions = np.arange(start_ptr, end_ptr + 1, dtype=np.uint64)
+    return eng.resolve_positions(positions)
+
+
+def find_database_hit_position_single(index: FmIndex, bwt_position: int) -> int:
+    """awFmFindDatabaseHitPositionSingle (AwFmSearch.c:248-282)."""
+    eng = SearchEngine(index)
+    return int(
+        eng.resolve_positions(np.array([bwt_position], dtype=np.uint64))[0]
+    )
+
+
+def backtrace_return_previous_letter_index(index: FmIndex, bwt_position: int):
+    """awFm*BacktraceReturnPreviousLetterIndex (AwFmSearch.c:429-483).
+
+    Returns (letter_index, new_bwt_position): the BWT letter at the given
+    position and its LF mapping. A sentinel returns letter 0 and
+    position 0, matching the reference's early-out.
+    """
+    import jax.numpy as jnp
+
+    dev = index.to_device()
+    lett, lf = rank_ops.letter_and_lf_at(
+        dev, jnp.asarray(np.array([bwt_position], dtype=np.uint32))
+    )
+    lett_v = int(np.asarray(lett)[0])
+    if lett_v == dev.sentinel:
+        return 0, 0
+    return lett_v, int(np.asarray(lf)[0])
+
+
 def find_search_range_for_string(index: FmIndex, kmer: Union[str, bytes]):
     """awFmFindSearchRangeForString (AwFmSearch.c:317-358).
 

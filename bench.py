@@ -47,6 +47,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from avxwindowfmindex_tpu import IndexConfiguration, AlphabetType, SearchEngine, create_index
     from avxwindowfmindex_tpu.search import (
         _resolve_samples,
@@ -77,27 +81,42 @@ def main():
     from avxwindowfmindex_tpu.models import alphabet as alpha
 
     mat = alpha.NT_ASCII_TO_INDEX[kmer_mat_ascii]
-    lengths = np.full(NUM_QUERIES, KMER_LEN, dtype=np.int32)
-    jm = jnp.asarray(mat)
-    jl = jnp.asarray(lengths)
     n_ext = KMER_LEN - SEED_K
+
+    # fixed-size chunks: one compiled shape regardless of NUM_QUERIES
+    # (large-shape compiles through a remote TPU compiler take minutes)
+    chunk_q = min(NUM_QUERIES, 262144)
+    assert NUM_QUERIES % chunk_q == 0, "NUM_QUERIES must be a chunk multiple"
+    jms = [
+        jnp.asarray(mat[lo : lo + chunk_q])
+        for lo in range(0, NUM_QUERIES, chunk_q)
+    ]
+    jl = jnp.asarray(np.full(chunk_q, KMER_LEN, dtype=np.int32))
 
     @jax.jit
     def count_step(jm, jl):
         s, e = _seeded_ranges(dev, jm, jl, n_ext=n_ext)
         return jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0)), s
 
-    # warmup/compile
+    def run_count():
+        total = jnp.uint32(0)
+        last = None
+        for jm in jms:
+            counts, s = count_step(jm, jl)
+            total = total + counts[0]
+            last = (counts, s)
+        # scalar readback forces true completion of the whole chain
+        _ = int(np.asarray(total))
+        return last
+
     _log("compiling count_step")
-    counts, s = count_step(jm, jl)
-    counts.block_until_ready()
+    counts, s = run_count()
     _log("count_step compiled")
 
     times = []
     for _ in range(RUNS):
         t0 = time.time()
-        counts, s = count_step(jm, jl)
-        counts.block_until_ready()
+        counts, s = run_count()
         times.append(time.time() - t0)
     count_qps = NUM_QUERIES / float(np.mean(times))
 
@@ -115,15 +134,23 @@ def main():
         hits = _resolve_samples(dev, p, off)
         return jnp.where(valid, hits, jnp.uint32(0))
 
+    def run_locate():
+        total = jnp.uint32(0)
+        last = None
+        for jm in jms:
+            hits = locate_step(jm, jl)
+            total = total + hits[0]
+            last = hits
+        _ = int(np.asarray(total))
+        return last
+
     _log("compiling locate_step")
-    hits = locate_step(jm, jl)
-    hits.block_until_ready()
+    hits = run_locate()
     _log("locate_step compiled")
     times = []
     for _ in range(RUNS):
         t0 = time.time()
-        hits = locate_step(jm, jl)
-        hits.block_until_ready()
+        hits = run_locate()
         times.append(time.time() - t0)
     locate_qps = NUM_QUERIES / float(np.mean(times))
 
@@ -134,6 +161,14 @@ def main():
     check = engine.count(sample_kmers)
     assert (check >= 1).all(), "sampled kmers must occur at least once"
 
+    from avxwindowfmindex_tpu.utils import roofline
+
+    count_roof = roofline.report(
+        count_qps, KMER_LEN, SEED_K, 8, dev.row_bytes, locate=False
+    )
+    locate_roof = roofline.report(
+        locate_qps, KMER_LEN, SEED_K, 8, dev.row_bytes, locate=True
+    )
     meta = {
         "device": str(jax.devices()[0]),
         "num_bases": NUM_BASES,
@@ -144,6 +179,8 @@ def main():
         "count_qps": round(count_qps),
         "locate_first_hit_qps": round(locate_qps),
         "total_seconds": round(time.time() - t_start, 1),
+        "count_roofline": count_roof,
+        "locate_roofline": locate_roof,
     }
     print(json.dumps({"meta": meta}))
     print(

@@ -1,0 +1,47 @@
+"""Native .awfmx artifact roundtrip tests."""
+
+import numpy as np
+import pytest
+
+from avxwindowfmindex_tpu import (
+    AlphabetType,
+    IndexConfiguration,
+    SearchEngine,
+    create_index,
+    create_index_from_fasta,
+)
+from avxwindowfmindex_tpu.io import artifact
+
+from oracle import random_kmer, random_sequence
+
+
+@pytest.mark.parametrize("alphabet", [AlphabetType.DNA, AlphabetType.AMINO])
+def test_artifact_roundtrip(rng, tmp_path, alphabet):
+    seq = random_sequence(rng, 600, alphabet)
+    cfg = IndexConfiguration(4, 3, alphabet)
+    index = create_index(seq, cfg)
+    path = str(tmp_path / "t.awfmx.npz")
+    artifact.save_artifact(index, path)
+    loaded = artifact.load_artifact(path)
+    np.testing.assert_array_equal(loaded.bwt_letters, index.bwt_letters)
+    np.testing.assert_array_equal(loaded.prefix_sums, index.prefix_sums)
+    np.testing.assert_array_equal(loaded.kmer_seed_table, index.kmer_seed_table)
+    np.testing.assert_array_equal(loaded.sampled_sa, index.sampled_sa)
+    assert loaded.sequence == index.sequence
+    kmers = [random_kmer(rng, 4, alphabet) for _ in range(20)]
+    np.testing.assert_array_equal(
+        SearchEngine(loaded).count(kmers), SearchEngine(index).count(kmers)
+    )
+
+
+def test_artifact_with_fasta_metadata(rng, tmp_path):
+    fasta = tmp_path / "m.fasta"
+    fasta.write_text(">one\nGATTACA\n>two\nACGTACGT\n")
+    index = create_index_from_fasta(str(fasta), IndexConfiguration(2, 2, AlphabetType.DNA))
+    path = str(tmp_path / "t.awfmx.npz")
+    artifact.save_artifact(index, path)
+    loaded = artifact.load_artifact(path)
+    assert loaded.num_sequences() == 2
+    assert loaded.get_header(1) == b"two"
+    seqn, local = loaded.get_local_sequence_position(8)
+    assert (int(seqn), int(local)) == (1, 1)

@@ -112,3 +112,35 @@ def test_rna_u_matches_t(rng):
     index = create_index(seq, _cfg(AlphabetType.DNA, k=2))
     engine = SearchEngine(index)
     assert engine.count([b"ACGU"])[0] == 2
+
+
+def test_single_range_locate_parity(rng):
+    from avxwindowfmindex_tpu import (
+        find_database_hit_position_single,
+        find_database_hit_positions,
+    )
+
+    alphabet = AlphabetType.DNA
+    seq = random_sequence(rng, 500, alphabet)
+    index = create_index(seq, _cfg(alphabet))
+    engine = SearchEngine(index)
+    kmer = seq[100:104]
+    s, e = find_search_range_for_string(index, kmer)
+    hits = find_database_hit_positions(index, s, e)
+    want = engine.locate([kmer])[0]
+    np.testing.assert_array_equal(hits, want)
+    assert find_database_hit_position_single(index, s) == hits[0]
+    # invalid range -> empty (AwFmGeneralFailure analogue)
+    assert len(find_database_hit_positions(index, 5, 4)) == 0
+
+
+def test_backtrace_previous_letter(rng):
+    from avxwindowfmindex_tpu import backtrace_return_previous_letter_index
+
+    seq = b"GATTACA"
+    index = create_index(seq, _cfg(AlphabetType.DNA, k=2, ratio=1))
+    # walk LF from some position; every returned letter must be a valid index
+    pos = 3
+    for _ in range(5):
+        lett, pos = backtrace_return_previous_letter_index(index, pos)
+        assert 0 <= lett <= 4
