@@ -1,0 +1,340 @@
+"""Range-sharded index mode: BWT blocks partitioned across the mesh.
+
+The replicated-index mode (dist.py) needs the whole index in every
+chip's HBM. When the index exceeds per-chip HBM (SURVEY.md §5: the
+reference's long-sequence story is capacity), the block array is instead
+PARTITIONED by contiguous block range across a mesh axis — the block
+index ``pos // 256`` is a static partition key
+(AwFmIndexStruct.c:117-119).
+
+Rank lookups then become a collective: every shard receives the full
+(replicated) position batch, computes occurrences only for positions
+whose block it owns (others are clamped and masked to zero), and a
+``psum`` over the index axis assembles the global answer — each position
+is owned by exactly one shard, so the sum IS the value. Prefix sums and
+the seed table are small and stay replicated; the sampled SA is also
+range-sharded.
+
+This trades throughput for capacity: each backward step costs one
+masked gather per shard (the ICI psum is tiny — one u32 per query
+side). Use the replicated engine when the index fits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..models import alphabet as alpha
+from ..models.index import DeviceIndex, FmIndex, POSITIONS_PER_BLOCK
+from ..ops import rank as rank_ops
+from ..search import SearchEngine, _round_up, _round_up_pow2
+
+AXIS = "i"  # index-shard mesh axis
+
+
+def make_index_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def _local_occurrence(dev, positions, letter_indices, first_block, num_local_blocks):
+    """occ for positions owned by this shard; 0 elsewhere.
+
+    dev.packed here is the LOCAL slice of the block array; positions are
+    global. Ownership: first_block <= pos//256 < first_block+num_local.
+    """
+    blk = (positions // POSITIONS_PER_BLOCK).astype(jnp.int32)
+    local_blk = blk - first_block
+    owned = (local_blk >= 0) & (local_blk < num_local_blocks)
+    safe_blk = jnp.clip(local_blk, 0, num_local_blocks - 1)
+    rows = dev.packed[safe_blk]
+    local = (positions % POSITIONS_PER_BLOCK).astype(jnp.int32)
+    occ = rank_ops._count_rows(dev, rows, local, letter_indices)
+    return jnp.where(owned, occ, jnp.uint32(0))
+
+
+def _sharded_backward_step(dev, start, end, letter_indices, active,
+                           first_block, num_local_blocks):
+    """backward_step with rank assembled by psum over the index axis."""
+    b = start.shape[0]
+    c = dev.prefix_sums[letter_indices]
+    pos = jnp.concatenate([start - jnp.uint32(1), end])
+    ll = jnp.concatenate([letter_indices, letter_indices])
+    occ_local = _local_occurrence(dev, pos, ll, first_block, num_local_blocks)
+    occ = jax.lax.psum(occ_local, AXIS)
+    new_start = c + occ[:b]
+    new_end = c + occ[b:] - jnp.uint32(1)
+    keep = active & (start <= end)
+    return jnp.where(keep, new_start, start), jnp.where(keep, new_end, end)
+
+
+class RangeShardedSearchEngine(SearchEngine):
+    """count/locate with the block array range-sharded across the mesh.
+
+    The search semantics (and results) are identical to the
+    single-device engine; only the storage layout and the rank
+    collective differ.
+    """
+
+    def __init__(self, index: FmIndex, mesh: Optional[Mesh] = None):
+        self.host_index = index
+        self.mesh = mesh if mesh is not None else make_index_mesh()
+        self.n_dev = int(self.mesh.devices.size)
+        base = index.to_device()
+        self._ascii_lut = (
+            alpha.AA_ASCII_TO_INDEX
+            if index.alphabet.name == "AMINO"
+            else alpha.NT_ASCII_TO_INDEX
+        )
+
+        nb = base.packed.shape[0]
+        self.blocks_per_shard = -(-nb // self.n_dev)  # ceil
+        nb_padded = self.blocks_per_shard * self.n_dev
+        packed_host = np.zeros((nb_padded, base.packed.shape[1]), dtype=np.uint8)
+        packed_host[:nb] = np.asarray(base.packed)
+        # sampled SA sharded the same way (by sample index range)
+        n_samples = base.sampled_sa.shape[0]
+        self.samples_per_shard = -(-n_samples // self.n_dev)
+        sa_padded = np.zeros(self.samples_per_shard * self.n_dev, dtype=np.uint32)
+        sa_padded[:n_samples] = np.asarray(base.sampled_sa)
+
+        shard = lambda arr, spec: jax.device_put(
+            jnp.asarray(arr), NamedSharding(self.mesh, spec)
+        )
+        rep = lambda arr: jax.device_put(
+            arr, NamedSharding(self.mesh, P())
+        )
+        import dataclasses as _dc
+
+        self.dev = _dc.replace(
+            base,
+            packed=shard(packed_host, P(AXIS, None)),
+            sampled_sa=shard(sa_padded, P(AXIS)),
+            prefix_sums=rep(base.prefix_sums),
+            seed_table=rep(base.seed_table),
+            code_masks=rep(base.code_masks),
+            vec_to_index=rep(base.vec_to_index),
+        )
+        self._ranges_fns = {}
+
+    # -- sharded kernels ----------------------------------------------------
+
+    def _get_ranges_fn(self, seeded: bool, n_steps: int):
+        key = (seeded, n_steps)
+        if key in self._ranges_fns:
+            return self._ranges_fns[key]
+        seed_k = self.dev.kmer_length_in_seed_table
+        card = self.dev.cardinality
+        bps = self.blocks_per_shard
+
+        def body(dev, kmers, lengths):
+            shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
+            first_block = shard_id * bps
+            if seeded:
+                powers = jnp.asarray(
+                    [card ** (seed_k - 1 - j) for j in range(seed_k)],
+                    dtype=jnp.uint32,
+                )
+                idxs = lengths[:, None] - seed_k + jnp.arange(
+                    seed_k, dtype=jnp.int32
+                )[None, :]
+                last_k = jnp.take_along_axis(kmers, idxs, axis=1).astype(jnp.uint32)
+                tbl = jnp.sum(last_k * powers[None, :], axis=1).astype(jnp.int32)
+                seeded_ranges = dev.seed_table[tbl]
+                start, end = seeded_ranges[:, 0], seeded_ranges[:, 1]
+                first_pos = seed_k
+            else:
+                last = jnp.take_along_axis(
+                    kmers, (lengths - 1)[:, None], axis=1
+                )[:, 0].astype(jnp.int32)
+                start = dev.prefix_sums[last]
+                end = dev.prefix_sums[last + 1] - jnp.uint32(1)
+                first_pos = 1
+
+            def step(carry, t):
+                s, e = carry
+                pos_in_kmer = lengths - first_pos - 1 - t
+                active = pos_in_kmer >= 0
+                lett = jnp.take_along_axis(
+                    kmers, jnp.maximum(pos_in_kmer, 0)[:, None], axis=1
+                )[:, 0].astype(jnp.int32)
+                s, e = _sharded_backward_step(
+                    dev, s, e, lett, active, first_block, bps
+                )
+                return (s, e), None
+
+            if n_steps > 0:
+                (start, end), _ = jax.lax.scan(
+                    step, (start, end), jnp.arange(n_steps, dtype=jnp.int32)
+                )
+            return jnp.stack([start, end], axis=1)
+
+        mapped = _shard_map(
+            body, mesh=self.mesh,
+            in_specs=(_dev_specs(self.dev), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        fn = jax.jit(mapped)
+        self._ranges_fns[key] = fn
+        return fn
+
+    def find_ranges_encoded(self, mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        dev = self.dev
+        k = dev.kmer_length_in_seed_table
+        eligible = self._seed_eligibility(mat, lengths)
+        start = np.empty(mat.shape[0], dtype=np.uint64)
+        end = np.empty(mat.shape[0], dtype=np.uint64)
+
+        def run(sub_mat, sub_len, seeded: bool):
+            b_pad = _round_up_pow2(sub_mat.shape[0])
+            if b_pad != sub_mat.shape[0]:
+                pad = b_pad - sub_mat.shape[0]
+                sub_mat = np.pad(sub_mat, ((0, pad), (0, 0)))
+                sub_len = np.pad(sub_len, (0, pad), constant_values=max(1, k))
+            rep = NamedSharding(self.mesh, P())
+            jm = jax.device_put(jnp.asarray(sub_mat), rep)
+            jl = jax.device_put(jnp.asarray(sub_len), rep)
+            n_steps = (
+                max(0, sub_mat.shape[1] - k) if seeded else sub_mat.shape[1] - 1
+            )
+            out = self._get_ranges_fn(seeded, n_steps)(dev, jm, jl)
+            out = np.asarray(out, dtype=np.uint64)
+            return out[:, 0], out[:, 1]
+
+        if eligible.all():
+            start, end = run(mat, lengths, True)
+        elif not eligible.any():
+            start, end = run(mat, lengths, False)
+        else:
+            idx_e = np.where(eligible)[0]
+            idx_u = np.where(~eligible)[0]
+            s, e = run(mat[idx_e], lengths[idx_e], True)
+            start[idx_e], end[idx_e] = s[: len(idx_e)], e[: len(idx_e)]
+            s, e = run(mat[idx_u], lengths[idx_u], False)
+            start[idx_u], end[idx_u] = s[: len(idx_u)], e[: len(idx_u)]
+        return np.stack([start[: mat.shape[0]], end[: mat.shape[0]]], axis=1)
+
+    # -- locate: sharded backtrace ------------------------------------------
+
+    def resolve_positions(self, bwt_positions: np.ndarray) -> np.ndarray:
+        n = len(bwt_positions)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        dev = self.dev
+        bps = self.blocks_per_shard
+        sps = self.samples_per_shard
+        ratio = dev.ratio
+        sentinel = dev.sentinel
+        card = dev.cardinality
+        bwt_length = dev.bwt_length
+
+        def body(dev, positions):
+            shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
+            first_block = shard_id * bps
+            ratio_u = jnp.uint32(ratio)
+
+            def cond(state):
+                _, _, done = state
+                return ~jnp.all(done)
+
+            def step_body(state):
+                p, off, done = state
+                blk = (p // POSITIONS_PER_BLOCK).astype(jnp.int32)
+                local_blk = blk - first_block
+                owned = (local_blk >= 0) & (local_blk < bps)
+                safe = jnp.clip(local_blk, 0, bps - 1)
+                rows = dev.packed[safe]
+                local = (p % POSITIONS_PER_BLOCK).astype(jnp.int32)
+                # letter at position (masked to 0 off-shard, psum-combined)
+                byte_idx = (local >> 3)[:, None]
+                bit_idx = (local & 7)[:, None].astype(jnp.uint8)
+                onehot = jnp.where(
+                    rank_ops._BYTE_IOTA[None, :] == byte_idx,
+                    jnp.uint8(1) << bit_idx, jnp.uint8(0),
+                )
+                code = jnp.zeros(p.shape, dtype=jnp.int32)
+                for i in range(dev.n_planes):
+                    hit = jnp.sum(
+                        jax.lax.population_count(
+                            rows[:, i * 32 : (i + 1) * 32] & onehot
+                        ),
+                        axis=1, dtype=jnp.int32,
+                    )
+                    code = code | (hit << i)
+                v2i = np.asarray(alpha.vector_to_index_lut(dev.alphabet))
+                lett = jnp.zeros(p.shape, dtype=jnp.int32)
+                for v in range(1 << dev.n_planes):
+                    if v2i[v]:
+                        lett = lett + jnp.where(
+                            code == v, jnp.int32(v2i[v]), jnp.int32(0)
+                        )
+                lett = jax.lax.psum(jnp.where(owned, lett, 0), AXIS)
+                is_sentinel = lett == sentinel
+                lclip = jnp.minimum(lett, card)
+                occ_local = jnp.where(
+                    owned,
+                    rank_ops._count_rows(dev, rows, local, lclip),
+                    jnp.uint32(0),
+                )
+                occ = jax.lax.psum(occ_local, AXIS)
+                lf = dev.prefix_sums[lclip] + occ - jnp.uint32(1)
+                lf = jnp.where(is_sentinel, jnp.uint32(0), lf)
+                p2 = jnp.where(done, p, lf)
+                off2 = jnp.where(done, off, off + jnp.uint32(1))
+                done2 = (p2 % ratio_u) == 0
+                return p2, off2, done2
+
+            done0 = (positions % ratio_u) == 0
+            p, off, _ = jax.lax.while_loop(
+                cond, step_body, (positions, jnp.zeros_like(positions), done0)
+            )
+            # sampled-SA resolve: sample index range-sharded
+            sa_idx = (p // ratio_u).astype(jnp.int32)
+            local_idx = sa_idx - shard_id * sps
+            owned = (local_idx >= 0) & (local_idx < sps)
+            safe = jnp.clip(local_idx, 0, sps - 1)
+            vals = jnp.where(owned, dev.sampled_sa[safe], jnp.uint32(0))
+            sa_vals = jax.lax.psum(vals, AXIS)
+            return (sa_vals + off) % jnp.uint32(bwt_length)
+
+        mapped = _shard_map(
+            body, mesh=self.mesh,
+            in_specs=(_dev_specs(self.dev), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        fn = jax.jit(mapped)
+
+        b_pad = _round_up_pow2(n)
+        padded = np.zeros(b_pad, dtype=np.uint32)
+        padded[:n] = bwt_positions.astype(np.uint32)
+        rep = NamedSharding(self.mesh, P())
+        hits = fn(dev, jax.device_put(jnp.asarray(padded), rep))
+        return np.asarray(hits[:n], dtype=np.uint64)
+
+
+def _dev_specs(dev):
+    """PartitionSpec pytree matching the range-sharded DeviceIndex.
+
+    Built by unflattening into the actual dev's treedef so the static
+    metadata matches exactly. Leaf order follows the registered data
+    fields: packed, prefix_sums, seed_table, sampled_sa, code_masks,
+    vec_to_index.
+    """
+    _, treedef = jax.tree.flatten(dev)
+    specs = [P(AXIS, None), P(), P(), P(AXIS), P(), P()]
+    return jax.tree.unflatten(treedef, specs)

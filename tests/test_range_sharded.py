@@ -1,0 +1,62 @@
+"""Range-sharded index mode: results must equal the replicated engine."""
+
+import numpy as np
+import pytest
+
+from avxwindowfmindex_tpu import (
+    AlphabetType,
+    IndexConfiguration,
+    SearchEngine,
+    create_index,
+)
+from avxwindowfmindex_tpu.parallel.range_sharded import (
+    RangeShardedSearchEngine,
+    make_index_mesh,
+)
+
+from oracle import random_kmer, random_sequence
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(11)
+    # >8 blocks so every shard of an 8-way mesh owns at least one
+    seq = random_sequence(rng, 5000, AlphabetType.DNA)
+    cfg = IndexConfiguration(
+        suffix_array_compression_ratio=4,
+        kmer_length_in_seed_table=3,
+        alphabet_type=AlphabetType.DNA,
+    )
+    return seq, create_index(seq, cfg)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_count_matches(built, rng, n_dev):
+    seq, index = built
+    sharded = RangeShardedSearchEngine(index, make_index_mesh(n_dev))
+    single = SearchEngine(index)
+    kmers = [random_kmer(rng, int(rng.integers(1, 9)), AlphabetType.DNA)
+             for _ in range(80)]
+    np.testing.assert_array_equal(sharded.count(kmers), single.count(kmers))
+
+
+def test_sharded_locate_matches(built, rng):
+    seq, index = built
+    sharded = RangeShardedSearchEngine(index, make_index_mesh(4))
+    single = SearchEngine(index)
+    kmers = [random_kmer(rng, int(rng.integers(3, 7)), AlphabetType.DNA)
+             for _ in range(30)]
+    got = sharded.locate(kmers)
+    want = single.locate(kmers)
+    for kmer, a, b in zip(kmers, got, want):
+        np.testing.assert_array_equal(a, b, err_msg=repr(kmer))
+
+
+def test_sharded_amino(rng):
+    seq = random_sequence(rng, 3000, AlphabetType.AMINO)
+    cfg = IndexConfiguration(3, 2, AlphabetType.AMINO)
+    index = create_index(seq, cfg)
+    sharded = RangeShardedSearchEngine(index, make_index_mesh(8))
+    single = SearchEngine(index)
+    kmers = [random_kmer(rng, 4, AlphabetType.AMINO) for _ in range(40)]
+    np.testing.assert_array_equal(sharded.count(kmers), single.count(kmers))
