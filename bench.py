@@ -37,13 +37,14 @@ BASELINE_COUNT_QPS = 3.5e6
 BASELINE_LOCATE_QPS = 2.5e6
 
 NUM_BASES = int(os.environ.get("AWFM_BENCH_BASES", 64_000_000))
-NUM_QUERIES = int(os.environ.get("AWFM_BENCH_QUERIES", 1_000_000))
+NUM_QUERIES = int(os.environ.get("AWFM_BENCH_QUERIES", 1_048_576))
 KMER_LEN = int(os.environ.get("AWFM_BENCH_KMER_LEN", 25))
 SEED_K = int(os.environ.get("AWFM_BENCH_SEED_K", 12))
 RUNS = 4  # timeSearch.c:63-85 averages 4 runs
 
 
 def main():
+    global NUM_QUERIES
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +53,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from avxwindowfmindex_tpu import IndexConfiguration, AlphabetType, SearchEngine, create_index
+    from avxwindowfmindex_tpu.ops import digram as digram_ops
     from avxwindowfmindex_tpu.search import (
+        _digram_seeded_uniform,
         _resolve_samples,
         _seeded_ranges,
         backtrace_all,
@@ -72,6 +75,10 @@ def main():
     build_s = time.time() - t0
     _log(f"index built in {build_s:.1f}s")
     dev = index.to_device()
+    t0 = time.time()
+    dig = digram_ops.build_digram_device(index)
+    digram_build_s = time.time() - t0
+    _log(f"digram index built in {digram_build_s:.1f}s")
 
     # sample query kmers from the sequence (guaranteed hits, like
     # timeSearch.c's kmer sampling)
@@ -86,7 +93,8 @@ def main():
     # fixed-size chunks: one compiled shape regardless of NUM_QUERIES
     # (large-shape compiles through a remote TPU compiler take minutes)
     chunk_q = min(NUM_QUERIES, 262144)
-    assert NUM_QUERIES % chunk_q == 0, "NUM_QUERIES must be a chunk multiple"
+    if NUM_QUERIES % chunk_q != 0:  # round down to a whole number of chunks
+        NUM_QUERIES = (NUM_QUERIES // chunk_q) * chunk_q
     jms = [
         jnp.asarray(mat[lo : lo + chunk_q])
         for lo in range(0, NUM_QUERIES, chunk_q)
@@ -120,11 +128,32 @@ def main():
         times.append(time.time() - t0)
     count_qps = NUM_QUERIES / float(np.mean(times))
 
+    # double-step (digram) count: two letters per gather
+    def run_count2():
+        total = jnp.uint32(0)
+        for jm in jms:
+            s, e = _digram_seeded_uniform(
+                dev, dig, jm, kmer_len=KMER_LEN, seed_k=SEED_K
+            )
+            c = jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0))
+            total = total + c[0]
+        _ = int(np.asarray(total))
+
+    _log("compiling digram count")
+    run_count2()
+    _log("digram count compiled")
+    times = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        run_count2()
+        times.append(time.time() - t0)
+    count2_qps = NUM_QUERIES / float(np.mean(times))
+
     # locate: resolve the first hit of every query (range start), the
     # per-hit backtrace cost; full-list locate scales with total hits.
     @jax.jit
     def ranges_step(jm, jl):
-        s, e = _seeded_ranges(dev, jm, jl, n_ext=n_ext)
+        s, e = _digram_seeded_uniform(dev, dig, jm, kmer_len=KMER_LEN, seed_k=SEED_K)
         valid = s <= e
         return jnp.where(valid, s, jnp.uint32(0)), valid
 
@@ -176,7 +205,9 @@ def main():
         "kmer_len": KMER_LEN,
         "seed_k": SEED_K,
         "build_seconds": round(build_s, 2),
+        "digram_build_seconds": round(digram_build_s, 2),
         "count_qps": round(count_qps),
+        "count_digram_qps": round(count2_qps),
         "locate_first_hit_qps": round(locate_qps),
         "total_seconds": round(time.time() - t_start, 1),
         "count_roofline": count_roof,
