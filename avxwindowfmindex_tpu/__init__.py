@@ -48,6 +48,7 @@ from .search import (
     find_database_hit_position_single,
     find_database_hit_positions,
     find_search_range_for_string,
+    query_can_use_kmer_table,
     single_kmer_exists,
 )
 
@@ -117,6 +118,7 @@ __all__ = [
     "save_artifact",
     "load_artifact",
     "single_kmer_exists",
+    "query_can_use_kmer_table",
     "create_initial_query_range",
     "search_range_length",
     "CURRENT_VERSION_NUMBER",

@@ -70,6 +70,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
         ]
+        lib.awfm_read_fasta.restype = ctypes.c_int
+        lib.awfm_read_fasta.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.awfm_free.restype = None
+        lib.awfm_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -97,11 +110,50 @@ def suffix_array(sequence: np.ndarray) -> np.ndarray:
 
 
 def read_fasta(path: str) -> Tuple[bytes, object]:
-    """Native FASTA parse; currently delegates to the Python parser.
+    """Native C++ FASTA parse (FastaVector-equivalent semantics)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native host library unavailable")
+    from ..models.index import FastaMetadata
 
-    (The C++ parser lands with the native library; the binding keeps the
-    call site stable.)
-    """
-    from ..io.fasta import read_fasta_python
-
-    return read_fasta_python(path)
+    seq_p = ctypes.POINTER(ctypes.c_uint8)()
+    seq_len = ctypes.c_int64()
+    hdr_p = ctypes.POINTER(ctypes.c_uint8)()
+    hdr_len = ctypes.c_int64()
+    hdr_ends_p = ctypes.POINTER(ctypes.c_int64)()
+    seq_ends_p = ctypes.POINTER(ctypes.c_int64)()
+    num_seqs = ctypes.c_int64()
+    rc = lib.awfm_read_fasta(
+        path.encode(), ctypes.byref(seq_p), ctypes.byref(seq_len),
+        ctypes.byref(hdr_p), ctypes.byref(hdr_len),
+        ctypes.byref(hdr_ends_p), ctypes.byref(seq_ends_p),
+        ctypes.byref(num_seqs),
+    )
+    if rc == -1:
+        raise FileNotFoundError(path)
+    if rc != 0:
+        raise RuntimeError(f"native read_fasta failed with code {rc}")
+    try:
+        n = num_seqs.value
+        sequence = bytes(
+            np.ctypeslib.as_array(seq_p, shape=(seq_len.value,))
+        ) if seq_len.value else b""
+        headers = bytes(
+            np.ctypeslib.as_array(hdr_p, shape=(hdr_len.value,))
+        ) if hdr_len.value else b""
+        header_ends = (
+            np.ctypeslib.as_array(hdr_ends_p, shape=(n,)).astype(np.uint64)
+            if n else np.empty(0, np.uint64)
+        )
+        sequence_ends = (
+            np.ctypeslib.as_array(seq_ends_p, shape=(n,)).astype(np.uint64)
+            if n else np.empty(0, np.uint64)
+        )
+    finally:
+        lib.awfm_free(seq_p)
+        lib.awfm_free(hdr_p)
+        lib.awfm_free(hdr_ends_p)
+        lib.awfm_free(seq_ends_p)
+    return sequence, FastaMetadata(
+        headers=headers, header_ends=header_ends, sequence_ends=sequence_ends
+    )

@@ -8,6 +8,8 @@
 // Exposed with C linkage for ctypes binding (see ../hostlib.py).
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -122,6 +124,100 @@ void sais(const CharT* s, idx_t* sa, idx_t n, idx_t K) {
 }  // namespace
 
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// FASTA parsing (FastaVector equivalent: concatenated sequence buffer +
+// concatenated header text + cumulative end offsets per record).
+// Buffers are malloc'd here; the caller frees them with awfm_free.
+// ---------------------------------------------------------------------------
+
+void awfm_free(void* p) { free(p); }
+
+int awfm_read_fasta(const char* path, uint8_t** seq_out, int64_t* seq_len,
+                    uint8_t** headers_out, int64_t* headers_len,
+                    int64_t** header_ends_out, int64_t** seq_ends_out,
+                    int64_t* num_seqs) {
+  FILE* fh = fopen(path, "rb");
+  if (!fh) return -1;
+
+  std::vector<uint8_t> seq, headers;
+  std::vector<int64_t> header_ends, seq_ends;
+  seq.reserve(1 << 20);
+  bool started = false;
+  int64_t current_len = 0;
+
+  std::vector<char> line(1 << 16);
+  while (fgets(line.data(), (int)line.size(), fh)) {
+    size_t len = strlen(line.data());
+    // handle lines longer than the buffer by draining continuations
+    bool complete = len > 0 && line[len - 1] == '\n';
+    while (len > 0 && (line[len - 1] == '\n' || line[len - 1] == '\r')) len--;
+    if (len > 0 && line[0] == '>') {
+      if (started) seq_ends.push_back(current_len);
+      started = true;
+      current_len = 0;
+      headers.insert(headers.end(), line.data() + 1, line.data() + len);
+      // drain an over-long header line
+      while (!complete && fgets(line.data(), (int)line.size(), fh)) {
+        size_t l2 = strlen(line.data());
+        complete = l2 > 0 && line[l2 - 1] == '\n';
+        while (l2 > 0 && (line[l2 - 1] == '\n' || line[l2 - 1] == '\r')) l2--;
+        headers.insert(headers.end(), line.data(), line.data() + l2);
+      }
+      header_ends.push_back((int64_t)headers.size());
+    } else if (len > 0) {
+      if (!started) {  // data before any header: one unnamed record
+        started = true;
+        header_ends.push_back((int64_t)headers.size());
+      }
+      for (size_t i = 0; i < len; i++) {
+        char c = line[i];
+        if (c != ' ' && c != '\t' && c != '\v' && c != '\f') {
+          seq.push_back((uint8_t)c);
+          current_len++;
+        }
+      }
+      while (!complete && fgets(line.data(), (int)line.size(), fh)) {
+        size_t l2 = strlen(line.data());
+        complete = l2 > 0 && line[l2 - 1] == '\n';
+        while (l2 > 0 && (line[l2 - 1] == '\n' || line[l2 - 1] == '\r')) l2--;
+        for (size_t i = 0; i < l2; i++) {
+          char c = line[i];
+          if (c != ' ' && c != '\t' && c != '\v' && c != '\f') {
+            seq.push_back((uint8_t)c);
+            current_len++;
+          }
+        }
+      }
+    }
+  }
+  fclose(fh);
+  if (started) seq_ends.push_back(current_len);
+  // cumulative sequence ends
+  int64_t acc = 0;
+  for (auto& v : seq_ends) {
+    acc += v;
+    v = acc;
+  }
+
+  auto dup = [](const void* src, size_t bytes) -> void* {
+    void* p = malloc(bytes ? bytes : 1);
+    if (p && bytes) memcpy(p, src, bytes);
+    return p;
+  };
+  *seq_out = (uint8_t*)dup(seq.data(), seq.size());
+  *seq_len = (int64_t)seq.size();
+  *headers_out = (uint8_t*)dup(headers.data(), headers.size());
+  *headers_len = (int64_t)headers.size();
+  *header_ends_out = (int64_t*)dup(header_ends.data(),
+                                   header_ends.size() * sizeof(int64_t));
+  *seq_ends_out =
+      (int64_t*)dup(seq_ends.data(), seq_ends.size() * sizeof(int64_t));
+  *num_seqs = (int64_t)seq_ends.size();
+  if (!*seq_out || !*headers_out || !*header_ends_out || !*seq_ends_out)
+    return -2;
+  return 0;
+}
 
 // Suffix array of `sequence[0..n)` by raw byte order (divsufsort64 call
 // parity). Returns 0 on success.

@@ -115,8 +115,20 @@ def _count_rows(dev, rows, local, letter_indices):
     return _milestone(dev, rows, letter_indices) + cnt.astype(jnp.uint32)
 
 
+import os
+
+# Route the masked popcount through the fused Pallas kernel
+# (ops/rank_pallas.py) instead of the XLA elementwise formulation.
+# Bit-identical results; set before the first traced call.
+USE_PALLAS_RANK = os.environ.get("AWFM_PALLAS_RANK") == "1"
+
+
 def occurrence(dev, positions, letter_indices):
     """Batched occ(l, pos), inclusive of pos. letter_indices in [0, A]."""
+    if USE_PALLAS_RANK:
+        from . import rank_pallas
+
+        return rank_pallas.occurrence(dev, positions, letter_indices)
     rows, local = _gather_rows(dev, positions)
     return _count_rows(dev, rows, local, letter_indices)
 

@@ -504,6 +504,20 @@ class DigramSearchEngine(SearchEngine):
 # Single-query parity API (AwFmSearch.c)
 # ---------------------------------------------------------------------------
 
+def query_can_use_kmer_table(index: FmIndex, kmer: Union[str, bytes]) -> bool:
+    """awFmQueryCanUseKmerTable (AwFmKmerTable.c:4-19): eligible iff the
+    kmer is at least seed-table length and its last k letters are free of
+    ambiguity characters."""
+    data = kmer.encode() if isinstance(kmer, str) else kmer
+    k = index.config.kmer_length_in_seed_table
+    if len(data) < k:
+        return False
+    lett = alpha.ascii_to_index(
+        np.frombuffer(data[-k:], np.uint8), index.alphabet
+    )
+    return bool((lett < alpha.cardinality(index.alphabet)).all())
+
+
 def find_database_hit_positions(index: FmIndex, start_ptr: int, end_ptr: int):
     """awFmFindDatabaseHitPositions (AwFmSearch.c:161-246).
 

@@ -61,3 +61,36 @@ def test_build_uses_native_backend(rng):
     np.testing.assert_array_equal(a.bwt_letters, b.bwt_letters)
     np.testing.assert_array_equal(a.sampled_sa, b.sampled_sa)
     np.testing.assert_array_equal(a.kmer_seed_table, b.kmer_seed_table)
+
+
+def test_native_fasta_matches_python(tmp_path):
+    from avxwindowfmindex_tpu.io.fasta import read_fasta_python
+
+    fasta = tmp_path / "x.fasta"
+    fasta.write_text(
+        ">first header with spaces\nGATTACA\nACGT ACGT\n"
+        ">second\nTTTT\n\n>third empty\n>fourth\nCCC\n"
+    )
+    seq_n, md_n = hostlib.read_fasta(str(fasta))
+    seq_p, md_p = read_fasta_python(str(fasta))
+    assert seq_n == seq_p
+    assert md_n.headers == md_p.headers
+    np.testing.assert_array_equal(md_n.header_ends, md_p.header_ends)
+    np.testing.assert_array_equal(md_n.sequence_ends, md_p.sequence_ends)
+
+
+def test_native_fasta_crlf_and_headerless(tmp_path):
+    from avxwindowfmindex_tpu.io.fasta import read_fasta_python
+
+    fasta = tmp_path / "y.fasta"
+    fasta.write_bytes(b"ACGT\r\nGGGG\r\n>named\r\nTTTT\r\n")
+    seq_n, md_n = hostlib.read_fasta(str(fasta))
+    seq_p, md_p = read_fasta_python(str(fasta))
+    assert seq_n == seq_p == b"ACGTGGGGTTTT"
+    assert md_n.num_sequences == md_p.num_sequences == 2
+    np.testing.assert_array_equal(md_n.sequence_ends, md_p.sequence_ends)
+
+
+def test_native_fasta_missing_file():
+    with pytest.raises(FileNotFoundError):
+        hostlib.read_fasta("/nonexistent/definitely_missing.fa")
