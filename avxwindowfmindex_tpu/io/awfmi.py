@@ -23,8 +23,6 @@ All integers little-endian (the reference fwrites x86 host structs).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from .. import suffix_array as sa_mod

@@ -19,7 +19,7 @@ feeds its process-local query shard via
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

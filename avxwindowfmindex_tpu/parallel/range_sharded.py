@@ -22,8 +22,7 @@ side). Use the replicated engine when the index fits.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
