@@ -34,12 +34,17 @@ def main(argv=None) -> int:
         help="keep the suffix array in memory (timeSearch.c -m)",
     )
     parser.add_argument("--on-disk-sa", dest="in_memory_sa", action="store_false")
+    parser.add_argument(
+        "--digram", action="store_true",
+        help="use the double-step (digram) engine (nucleotide only)",
+    )
     parser.add_argument("-r", "--runs", type=int, default=4)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
     from .. import SearchEngine, read_index_from_file
     from ..io import awfmi
+    from ..search import DigramSearchEngine
 
     index = read_index_from_file(args.index, args.in_memory_sa)
     if not index.config.store_original_sequence:
@@ -52,7 +57,9 @@ def main(argv=None) -> int:
     starts = rng.integers(0, len(seq) - args.kmer_length, size=args.num_kmers)
     kmers = [seq[s : s + args.kmer_length] for s in starts]
 
-    engine = SearchEngine(index)
+    engine = (
+        DigramSearchEngine(index) if args.digram else SearchEngine(index)
+    )
     op = engine.count if args.count_only else engine.locate
     op(kmers[:16])  # warm the jit caches
 
