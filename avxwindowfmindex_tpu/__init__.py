@@ -48,7 +48,9 @@ from .search import (
     find_database_hit_position_single,
     find_database_hit_positions,
     find_search_range_for_string,
+    iterative_step_backward_search,
     query_can_use_kmer_table,
+    search_range_is_valid,
     single_kmer_exists,
 )
 
@@ -119,6 +121,8 @@ __all__ = [
     "load_artifact",
     "single_kmer_exists",
     "query_can_use_kmer_table",
+    "iterative_step_backward_search",
+    "search_range_is_valid",
     "create_initial_query_range",
     "search_range_length",
     "CURRENT_VERSION_NUMBER",

@@ -119,6 +119,86 @@ def _unseeded_ranges(dev, kmers, lengths, *, n_steps):
     return start, end
 
 
+# -- step-loop formulation ---------------------------------------------------
+#
+# The scan kernels above put the whole extension loop in ONE XLA
+# program. On remote-compiled TPU backends that program can take many
+# minutes to compile; the step-loop formulation below dispatches one
+# tiny compiled program per letter instead (the dispatches pipeline
+# asynchronously, so throughput is identical). CPU keeps the scan path
+# (fast local compiles, fewer dispatches).
+
+@jax.jit
+def _seed_lookup(dev, last_k_letters):
+    """Seed-table gather from the last-k letter matrix (B, k)."""
+    card = dev.cardinality
+    seed_k = dev.kmer_length_in_seed_table
+    powers = np.array(
+        [card ** (seed_k - 1 - j) for j in range(seed_k)], dtype=np.uint32
+    )
+    table_idx = jnp.sum(
+        last_k_letters.astype(jnp.uint32) * powers[None, :], axis=1
+    ).astype(jnp.int32)
+    seeded = dev.seed_table[table_idx]
+    return seeded[:, 0], seeded[:, 1]
+
+
+@jax.jit
+def _initial_range(dev, last_letters):
+    lett = last_letters.astype(jnp.int32)
+    return dev.prefix_sums[lett], dev.prefix_sums[lett + 1] - jnp.uint32(1)
+
+
+@jax.jit
+def _step_masked(dev, start, end, letters, active):
+    return rank_ops.backward_step(
+        dev, start, end, letters.astype(jnp.int32), active
+    )
+
+
+@jax.jit
+def _step_all(dev, start, end, letters):
+    return rank_ops.backward_step(dev, start, end, letters.astype(jnp.int32))
+
+
+def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool):
+    """Host-driven extension loop; bit-identical to the scan kernels."""
+    b, l = mat.shape
+    if seeded:
+        k = dev.kmer_length_in_seed_table
+        idxs = np.clip(lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1)
+        start, end = _seed_lookup(
+            dev, jnp.asarray(np.take_along_axis(mat, idxs, axis=1))
+        )
+        n_steps = max(0, l - k)
+        pos = lengths[:, None] - k - 1 - np.arange(n_steps)[None, :]
+    else:
+        start, end = _initial_range(
+            dev,
+            jnp.asarray(
+                np.take_along_axis(mat, (lengths - 1)[:, None], axis=1)[:, 0]
+            ),
+        )
+        n_steps = l - 1
+        pos = lengths[:, None] - 2 - np.arange(n_steps)[None, :]
+    letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
+    active = pos >= 0
+    uniform = bool(active.all())
+    for t in range(n_steps):
+        if uniform:
+            start, end = _step_all(dev, start, end, jnp.asarray(letters[:, t]))
+        else:
+            start, end = _step_masked(
+                dev, start, end,
+                jnp.asarray(letters[:, t]), jnp.asarray(active[:, t]),
+            )
+    return start, end
+
+
+def _use_step_loop() -> bool:
+    return jax.default_backend() != "cpu"
+
+
 @jax.jit
 def _backtrace_to_sampled(dev, positions):
     """LF-backtrace each BWT position to a sampled one, single program.
@@ -169,6 +249,26 @@ def _backtrace_steps(dev, positions, offsets, *, n_steps):
 
 
 @jax.jit
+def _backtrace_step1(dev, p, off):
+    """One masked LF step (step-loop variant of _backtrace_steps)."""
+    ratio_u = jnp.uint32(dev.ratio)
+    done = (p % ratio_u) == 0
+    _, lf = rank_ops.letter_and_lf_at(dev, p)
+    p2 = jnp.where(done, p, lf)
+    off2 = jnp.where(done, off, off + jnp.uint32(1))
+    return p2, off2
+
+
+def _backtrace_steps_any(dev, p, off, n_steps):
+    """n_steps masked LF steps; per-step dispatches on remote TPU."""
+    if _use_step_loop():
+        for _ in range(n_steps):
+            p, off = _backtrace_step1(dev, p, off)
+        return p, off
+    return _backtrace_steps(dev, p, off, n_steps=n_steps)
+
+
+@jax.jit
 def _undone_count(dev, p):
     return jnp.sum((p % jnp.uint32(dev.ratio)) != 0, dtype=jnp.int32)
 
@@ -198,17 +298,17 @@ def backtrace_all(dev, positions):
     """
     n_steps = min(64, max(4, 2 * dev.ratio))
     zeros = jnp.zeros_like(positions)
-    p, off = _backtrace_steps(dev, positions, zeros, n_steps=n_steps)
+    p, off = _backtrace_steps_any(dev, positions, zeros, n_steps)
     while True:
         cnt = int(_undone_count(dev, p))
         if cnt == 0:
             return p, off
         m = _round_up_pow2(cnt, floor=256)
         if m >= p.shape[0]:
-            p, off = _backtrace_steps(dev, p, off, n_steps=n_steps)
+            p, off = _backtrace_steps_any(dev, p, off, n_steps)
             continue
         idx, sub_p, sub_off = _gather_undone(dev, p, off, m=m)
-        sub_p, sub_off = _backtrace_steps(dev, sub_p, sub_off, n_steps=n_steps)
+        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, n_steps)
         p, off = _scatter_back(p, off, idx, sub_p, sub_off)
 
 
@@ -303,14 +403,18 @@ class SearchEngine:
                 pad = b_pad - sub_mat.shape[0]
                 sub_mat = np.pad(sub_mat, ((0, pad), (0, 0)))
                 sub_len = np.pad(sub_len, (0, pad), constant_values=max(1, k))
-            jm = jnp.asarray(sub_mat)
-            jl = jnp.asarray(sub_len)
-            if seeded:
+            if _use_step_loop():
+                s, e = _ranges_steploop(dev, sub_mat, sub_len, seeded)
+            elif seeded:
                 s, e = _seeded_ranges(
-                    dev, jm, jl, n_ext=max(0, sub_mat.shape[1] - k)
+                    dev, jnp.asarray(sub_mat), jnp.asarray(sub_len),
+                    n_ext=max(0, sub_mat.shape[1] - k),
                 )
             else:
-                s, e = _unseeded_ranges(dev, jm, jl, n_steps=sub_mat.shape[1] - 1)
+                s, e = _unseeded_ranges(
+                    dev, jnp.asarray(sub_mat), jnp.asarray(sub_len),
+                    n_steps=sub_mat.shape[1] - 1,
+                )
             return np.asarray(s, dtype=np.uint64), np.asarray(e, dtype=np.uint64)
 
         if eligible.all():
@@ -424,6 +528,33 @@ class SearchEngine:
 # Double-step engine (ops/digram.py)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _digram_step(dig, start, end, x_letters, y_letters):
+    from .ops import digram as digram_ops
+
+    return digram_ops.digram_backward_step(
+        dig, start, end, x_letters.astype(jnp.int32), y_letters.astype(jnp.int32)
+    )
+
+
+def _digram_ranges_steploop(dev, dig, mat, *, kmer_len, seed_k):
+    """Host-driven double-step loop (remote-compile-friendly)."""
+    m = kmer_len - seed_k
+    start, end = _seed_lookup(
+        dev, jnp.asarray(mat[:, kmer_len - seed_k : kmer_len])
+    )
+    for t in range(m // 2):
+        y_col = m - 1 - 2 * t
+        x_col = y_col - 1
+        start, end = _digram_step(
+            dig, start, end,
+            jnp.asarray(mat[:, x_col]), jnp.asarray(mat[:, y_col]),
+        )
+    if m % 2 == 1:
+        start, end = _step_all(dev, start, end, jnp.asarray(mat[:, 0]))
+    return start, end
+
+
 @functools.partial(jax.jit, static_argnames=("kmer_len", "seed_k"))
 def _digram_seeded_uniform(dev, dig, kmers, *, kmer_len, seed_k):
     """Seed + double-step extension for a uniform-length clean batch.
@@ -486,10 +617,15 @@ class DigramSearchEngine(SearchEngine):
             kmer_len = int(real_len[0])
             clean = (mat[:n, :kmer_len] < self.dev.cardinality).all()
             if clean and kmer_len > k:
-                s, e = _digram_seeded_uniform(
-                    self.dev, self.dig, jnp.asarray(mat),
-                    kmer_len=kmer_len, seed_k=k,
-                )
+                if _use_step_loop():
+                    s, e = _digram_ranges_steploop(
+                        self.dev, self.dig, mat, kmer_len=kmer_len, seed_k=k
+                    )
+                else:
+                    s, e = _digram_seeded_uniform(
+                        self.dev, self.dig, jnp.asarray(mat),
+                        kmer_len=kmer_len, seed_k=k,
+                    )
                 return np.stack(
                     [
                         np.asarray(s, dtype=np.uint64)[:n],
@@ -503,6 +639,32 @@ class DigramSearchEngine(SearchEngine):
 # ---------------------------------------------------------------------------
 # Single-query parity API (AwFmSearch.c)
 # ---------------------------------------------------------------------------
+
+def iterative_step_backward_search(index: FmIndex, start_ptr: int, end_ptr: int, letter_index: int):
+    """awFmNucleotide/AminoIterativeStepBackwardSearch (AwFmSearch.c:42-159).
+
+    One unconditional backward step on an explicit [start, end] range —
+    the letter-by-letter building block for custom (e.g. inexact)
+    search loops. Returns the new (start_ptr, end_ptr).
+    """
+    import jax.numpy as jnp
+
+    dev = index.to_device()
+    s, e = rank_ops.backward_step(
+        dev,
+        jnp.asarray(np.array([start_ptr], dtype=np.uint32)),
+        jnp.asarray(np.array([end_ptr], dtype=np.uint32)),
+        jnp.asarray(np.array([letter_index], dtype=np.int32)),
+        active=None,
+        check_valid=False,
+    )
+    return int(np.asarray(s)[0]), int(np.asarray(e)[0])
+
+
+def search_range_is_valid(start_ptr: int, end_ptr: int) -> bool:
+    """awFmSearchRangeIsValid (AwFmIndexStruct.c:99-102)."""
+    return start_ptr <= end_ptr
+
 
 def query_can_use_kmer_table(index: FmIndex, kmer: Union[str, bytes]) -> bool:
     """awFmQueryCanUseKmerTable (AwFmKmerTable.c:4-19): eligible iff the

@@ -55,9 +55,9 @@ def main():
     from avxwindowfmindex_tpu import IndexConfiguration, AlphabetType, SearchEngine, create_index
     from avxwindowfmindex_tpu.ops import digram as digram_ops
     from avxwindowfmindex_tpu.search import (
-        _digram_seeded_uniform,
+        _digram_ranges_steploop,
+        _ranges_steploop,
         _resolve_samples,
-        _seeded_ranges,
         backtrace_all,
     )
 
@@ -95,22 +95,17 @@ def main():
     chunk_q = min(NUM_QUERIES, 262144)
     if NUM_QUERIES % chunk_q != 0:  # round down to a whole number of chunks
         NUM_QUERIES = (NUM_QUERIES // chunk_q) * chunk_q
-    jms = [
-        jnp.asarray(mat[lo : lo + chunk_q])
-        for lo in range(0, NUM_QUERIES, chunk_q)
+    chunks = [
+        mat[lo : lo + chunk_q] for lo in range(0, NUM_QUERIES, chunk_q)
     ]
-    jl = jnp.asarray(np.full(chunk_q, KMER_LEN, dtype=np.int32))
-
-    @jax.jit
-    def count_step(jm, jl):
-        s, e = _seeded_ranges(dev, jm, jl, n_ext=n_ext)
-        return jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0)), s
+    chunk_len = np.full(chunk_q, KMER_LEN, dtype=np.int32)
 
     def run_count():
         total = jnp.uint32(0)
         last = None
-        for jm in jms:
-            counts, s = count_step(jm, jl)
+        for cm in chunks:
+            s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True)
+            counts = jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0))
             total = total + counts[0]
             last = (counts, s)
         # scalar readback forces true completion of the whole chain
@@ -131,9 +126,9 @@ def main():
     # double-step (digram) count: two letters per gather
     def run_count2():
         total = jnp.uint32(0)
-        for jm in jms:
-            s, e = _digram_seeded_uniform(
-                dev, dig, jm, kmer_len=KMER_LEN, seed_k=SEED_K
+        for cm in chunks:
+            s, e = _digram_ranges_steploop(
+                dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
             )
             c = jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0))
             total = total + c[0]
@@ -151,14 +146,12 @@ def main():
 
     # locate: resolve the first hit of every query (range start), the
     # per-hit backtrace cost; full-list locate scales with total hits.
-    @jax.jit
-    def ranges_step(jm, jl):
-        s, e = _digram_seeded_uniform(dev, dig, jm, kmer_len=KMER_LEN, seed_k=SEED_K)
+    def locate_step(cm):
+        s, e = _digram_ranges_steploop(
+            dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
+        )
         valid = s <= e
-        return jnp.where(valid, s, jnp.uint32(0)), valid
-
-    def locate_step(jm, jl):
-        pos, valid = ranges_step(jm, jl)
+        pos = jnp.where(valid, s, jnp.uint32(0))
         p, off = backtrace_all(dev, pos)
         hits = _resolve_samples(dev, p, off)
         return jnp.where(valid, hits, jnp.uint32(0))
@@ -166,8 +159,8 @@ def main():
     def run_locate():
         total = jnp.uint32(0)
         last = None
-        for jm in jms:
-            hits = locate_step(jm, jl)
+        for cm in chunks:
+            hits = locate_step(cm)
             total = total + hits[0]
             last = hits
         _ = int(np.asarray(total))
@@ -182,6 +175,14 @@ def main():
         hits = run_locate()
         times.append(time.time() - t0)
     locate_qps = NUM_QUERIES / float(np.mean(times))
+
+    # optional profiler trace of one locate pass (jax.profiler; view
+    # with tensorboard or xprof) — SURVEY.md §5 tracing subsystem
+    profile_dir = os.environ.get("AWFM_BENCH_PROFILE")
+    if profile_dir:
+        _log(f"capturing profiler trace to {profile_dir}")
+        with jax.profiler.trace(profile_dir):
+            run_locate()
 
     # correctness spot check on a small subsample vs positions sampled in
     sample = rng.integers(0, NUM_QUERIES, size=64)

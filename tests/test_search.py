@@ -144,3 +144,25 @@ def test_backtrace_previous_letter(rng):
     for _ in range(5):
         lett, pos = backtrace_return_previous_letter_index(index, pos)
         assert 0 <= lett <= 4
+
+
+def test_iterative_step_matches_full_search(rng):
+    from avxwindowfmindex_tpu import (
+        create_initial_query_range,
+        iterative_step_backward_search,
+        search_range_is_valid,
+    )
+    from avxwindowfmindex_tpu.models import alphabet as al
+
+    seq = random_sequence(rng, 600, AlphabetType.DNA)
+    index = create_index(seq, _cfg(AlphabetType.DNA))
+    kmer = seq[50:57]
+    lett = al.ascii_to_index(np.frombuffer(kmer, np.uint8), AlphabetType.DNA)
+    # manual letter-by-letter loop (the reference's documented usage)
+    s, e = create_initial_query_range(index, kmer)
+    for j in range(len(lett) - 2, -1, -1):
+        if not search_range_is_valid(s, e):
+            break
+        s, e = iterative_step_backward_search(index, s, e, int(lett[j]))
+    want_s, want_e = find_search_range_for_string(index, kmer)
+    assert (s, e) == (want_s, want_e)
