@@ -525,46 +525,42 @@ class SearchEngine:
 
 
 # ---------------------------------------------------------------------------
-# Double-step engine (ops/digram.py)
+# n-step engine (ops/ngram.py)
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def _digram_step(dig, start, end, x_letters, y_letters):
-    from .ops import digram as digram_ops
+def _ngram_step(ng, start, end, *letter_cols):
+    from .ops import ngram as ngram_ops
 
-    return digram_ops.digram_backward_step(
-        dig, start, end, x_letters.astype(jnp.int32), y_letters.astype(jnp.int32)
-    )
+    letters = [c.astype(jnp.int32) for c in letter_cols]
+    return ngram_ops.ngram_backward_step(ng, start, end, letters)
 
 
-def _digram_ranges_steploop(dev, dig, mat, *, kmer_len, seed_k):
-    """Host-driven double-step loop (remote-compile-friendly)."""
+def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
+    """Host-driven n-step loop over a uniform-length clean batch.
+
+    floor(m/n) n-gram steps right-to-left (static columns), then the
+    m mod n leftmost letters as single steps.
+    """
+    n = ng.n
     m = kmer_len - seed_k
     start, end = _seed_lookup(
         dev, jnp.asarray(mat[:, kmer_len - seed_k : kmer_len])
     )
-    for t in range(m // 2):
-        y_col = m - 1 - 2 * t
-        x_col = y_col - 1
-        start, end = _digram_step(
-            dig, start, end,
-            jnp.asarray(mat[:, x_col]), jnp.asarray(mat[:, y_col]),
+    for t in range(m // n):
+        cols = [m - n * (t + 1) + j for j in range(n)]
+        start, end = _ngram_step(
+            ng, start, end, *[jnp.asarray(mat[:, c]) for c in cols]
         )
-    if m % 2 == 1:
-        start, end = _step_all(dev, start, end, jnp.asarray(mat[:, 0]))
+    for c in range(m % n - 1, -1, -1):
+        start, end = _step_all(dev, start, end, jnp.asarray(mat[:, c]))
     return start, end
 
 
 @functools.partial(jax.jit, static_argnames=("kmer_len", "seed_k"))
-def _digram_seeded_uniform(dev, dig, kmers, *, kmer_len, seed_k):
-    """Seed + double-step extension for a uniform-length clean batch.
-
-    All kmers share ``kmer_len`` (letters < 4), so every column index is
-    static: the seed reads the last seed_k columns, then floor(m/2)
-    digram steps walk right-to-left two letters at a time, with one
-    final single step if m = kmer_len - seed_k is odd.
-    """
-    from .ops import digram as digram_ops
+def _ngram_seeded_uniform(dev, ng, kmers, *, kmer_len, seed_k):
+    """Single-program (scan-free, unrolled) variant for CPU backends."""
+    from .ops import ngram as ngram_ops
 
     card = dev.cardinality
     powers = np.array(
@@ -575,65 +571,71 @@ def _digram_seeded_uniform(dev, dig, kmers, *, kmer_len, seed_k):
     seeded = dev.seed_table[table_idx]
     start, end = seeded[:, 0], seeded[:, 1]
 
+    n = ng.n
     m = kmer_len - seed_k
-    for t in range(m // 2):
-        y_col = m - 1 - 2 * t
-        x_col = y_col - 1
-        x = kmers[:, x_col].astype(jnp.int32)
-        y = kmers[:, y_col].astype(jnp.int32)
-        start, end = digram_ops.digram_backward_step(dig, start, end, x, y)
-    if m % 2 == 1:
-        lett = kmers[:, 0].astype(jnp.int32)
-        start, end = rank_ops.backward_step(dev, start, end, lett)
+    for t in range(m // n):
+        cols = [m - n * (t + 1) + j for j in range(n)]
+        letters = [kmers[:, c].astype(jnp.int32) for c in cols]
+        start, end = ngram_ops.ngram_backward_step(ng, start, end, letters)
+    for c in range(m % n - 1, -1, -1):
+        start, end = rank_ops.backward_step(
+            dev, start, end, kmers[:, c].astype(jnp.int32)
+        )
     return start, end
 
 
-class DigramSearchEngine(SearchEngine):
-    """SearchEngine with double-step extension for the fast path.
+class NgramSearchEngine(SearchEngine):
+    """SearchEngine with n-letter-per-gather extension for the fast path.
 
-    Uniform-length, ambiguity-free nucleotide batches extend two letters
-    per gather over the digram BWT (~1.6x count throughput on TPU v5e);
-    everything else falls back to the single-step engine, with identical
-    results either way.
+    Uniform-length, ambiguity-free nucleotide batches extend n letters
+    per fused-row gather over the n-gram BWT (~1.6x count throughput at
+    n=2, more at n=3, on TPU v5e); everything else falls back to the
+    single-step engine, with identical results either way.
     """
 
-    def __init__(self, index: FmIndex):
+    def __init__(self, index: FmIndex, n: int = 2):
         super().__init__(index)
-        from .ops import digram as digram_ops
+        from .ops import ngram as ngram_ops
 
         if self.dev.alphabet == AlphabetType.AMINO:
-            raise NotImplementedError("digram stepping is nucleotide-only")
-        if isinstance(index, FmIndex):
-            self.dig = digram_ops.build_digram_device(index)
-        else:
-            raise TypeError("DigramSearchEngine requires a host FmIndex")
+            raise NotImplementedError("n-gram stepping is nucleotide-only")
+        if not isinstance(index, FmIndex):
+            raise TypeError("NgramSearchEngine requires a host FmIndex")
+        self.ng = ngram_ops.build_ngram_device(index, n)
 
     def find_ranges(self, kmers: Sequence[Union[str, bytes]]) -> np.ndarray:
-        mat, lengths, n = self.encode_kmers(kmers)
-        real_len = lengths[:n]
+        mat, lengths, n_real = self.encode_kmers(kmers)
+        real_len = lengths[:n_real]
         k = self.dev.kmer_length_in_seed_table
-        uniform = n > 0 and (real_len == real_len[0]).all()
+        uniform = n_real > 0 and (real_len == real_len[0]).all()
         if uniform:
             kmer_len = int(real_len[0])
-            clean = (mat[:n, :kmer_len] < self.dev.cardinality).all()
+            clean = (mat[:n_real, :kmer_len] < self.dev.cardinality).all()
             if clean and kmer_len > k:
                 if _use_step_loop():
-                    s, e = _digram_ranges_steploop(
-                        self.dev, self.dig, mat, kmer_len=kmer_len, seed_k=k
+                    s, e = _ngram_ranges_steploop(
+                        self.dev, self.ng, mat, kmer_len=kmer_len, seed_k=k
                     )
                 else:
-                    s, e = _digram_seeded_uniform(
-                        self.dev, self.dig, jnp.asarray(mat),
+                    s, e = _ngram_seeded_uniform(
+                        self.dev, self.ng, jnp.asarray(mat),
                         kmer_len=kmer_len, seed_k=k,
                     )
                 return np.stack(
                     [
-                        np.asarray(s, dtype=np.uint64)[:n],
-                        np.asarray(e, dtype=np.uint64)[:n],
+                        np.asarray(s, dtype=np.uint64)[:n_real],
+                        np.asarray(e, dtype=np.uint64)[:n_real],
                     ],
                     axis=1,
                 )
         return super().find_ranges(kmers)
+
+
+class DigramSearchEngine(NgramSearchEngine):
+    """Back-compat alias: the n=2 (double-step) engine."""
+
+    def __init__(self, index: FmIndex):
+        super().__init__(index, n=2)
 
 
 # ---------------------------------------------------------------------------

@@ -35,8 +35,9 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--on-disk-sa", dest="in_memory_sa", action="store_false")
     parser.add_argument(
-        "--digram", action="store_true",
-        help="use the double-step (digram) engine (nucleotide only)",
+        "--ngram", type=int, default=0, metavar="N",
+        help="use the n-step engine with N letters per gather "
+             "(2 or 3; nucleotide only)",
     )
     parser.add_argument("-r", "--runs", type=int, default=4)
     parser.add_argument("--seed", type=int, default=0)
@@ -44,7 +45,7 @@ def main(argv=None) -> int:
 
     from .. import SearchEngine, read_index_from_file
     from ..io import awfmi
-    from ..search import DigramSearchEngine
+    from ..search import NgramSearchEngine
 
     index = read_index_from_file(args.index, args.in_memory_sa)
     if not index.config.store_original_sequence:
@@ -58,7 +59,9 @@ def main(argv=None) -> int:
     kmers = [seq[s : s + args.kmer_length] for s in starts]
 
     engine = (
-        DigramSearchEngine(index) if args.digram else SearchEngine(index)
+        NgramSearchEngine(index, n=args.ngram)
+        if args.ngram
+        else SearchEngine(index)
     )
     op = engine.count if args.count_only else engine.locate
     op(kmers[:16])  # warm the jit caches

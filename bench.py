@@ -53,9 +53,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from avxwindowfmindex_tpu import IndexConfiguration, AlphabetType, SearchEngine, create_index
-    from avxwindowfmindex_tpu.ops import digram as digram_ops
+    from avxwindowfmindex_tpu.ops import ngram as ngram_ops
     from avxwindowfmindex_tpu.search import (
-        _digram_ranges_steploop,
+        _ngram_ranges_steploop,
         _ranges_steploop,
         _resolve_samples,
         backtrace_all,
@@ -75,10 +75,11 @@ def main():
     build_s = time.time() - t0
     _log(f"index built in {build_s:.1f}s")
     dev = index.to_device()
+    ngram_n = int(os.environ.get("AWFM_BENCH_NGRAM", 2))
     t0 = time.time()
-    dig = digram_ops.build_digram_device(index)
+    dig = ngram_ops.build_ngram_device(index, ngram_n)
     digram_build_s = time.time() - t0
-    _log(f"digram index built in {digram_build_s:.1f}s")
+    _log(f"{ngram_n}-gram index built in {digram_build_s:.1f}s")
 
     # sample query kmers from the sequence (guaranteed hits, like
     # timeSearch.c's kmer sampling)
@@ -92,7 +93,8 @@ def main():
 
     # fixed-size chunks: one compiled shape regardless of NUM_QUERIES
     # (large-shape compiles through a remote TPU compiler take minutes)
-    chunk_q = min(NUM_QUERIES, 262144)
+    # big chunks amortize per-dispatch overhead on serial step chains
+    chunk_q = min(NUM_QUERIES, 1_048_576)
     if NUM_QUERIES % chunk_q != 0:  # round down to a whole number of chunks
         NUM_QUERIES = (NUM_QUERIES // chunk_q) * chunk_q
     chunks = [
@@ -127,7 +129,7 @@ def main():
     def run_count2():
         total = jnp.uint32(0)
         for cm in chunks:
-            s, e = _digram_ranges_steploop(
+            s, e = _ngram_ranges_steploop(
                 dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
             )
             c = jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0))
@@ -147,7 +149,7 @@ def main():
     # locate: resolve the first hit of every query (range start), the
     # per-hit backtrace cost; full-list locate scales with total hits.
     def locate_step(cm):
-        s, e = _digram_ranges_steploop(
+        s, e = _ngram_ranges_steploop(
             dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
         )
         valid = s <= e
@@ -208,7 +210,8 @@ def main():
         "build_seconds": round(build_s, 2),
         "digram_build_seconds": round(digram_build_s, 2),
         "count_qps": round(count_qps),
-        "count_digram_qps": round(count2_qps),
+        "count_ngram_qps": round(count2_qps),
+        "ngram_n": ngram_n,
         "locate_first_hit_qps": round(locate_qps),
         "total_seconds": round(time.time() - t_start, 1),
         "count_roofline": count_roof,

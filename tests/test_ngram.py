@@ -1,0 +1,136 @@
+"""n-step (n-gram) search parity tests (n = 2 and 3).
+
+The n-gram path must return bit-identical ranges/counts/hits to the
+single-step engine on its fast path, and fall back transparently
+elsewhere.
+"""
+
+import numpy as np
+import pytest
+
+from avxwindowfmindex_tpu import (
+    AlphabetType,
+    IndexConfiguration,
+    SearchEngine,
+    create_index,
+)
+from avxwindowfmindex_tpu.ops import ngram as ngram_ops
+from avxwindowfmindex_tpu.search import DigramSearchEngine, NgramSearchEngine
+
+from oracle import count_occurrences, random_kmer, random_sequence
+
+
+def _cfg(k=3, ratio=4):
+    return IndexConfiguration(
+        suffix_array_compression_ratio=ratio,
+        kmer_length_in_seed_table=k,
+        alphabet_type=AlphabetType.DNA,
+    )
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_ngram_codes_match_definition(rng, n):
+    # BWTn[i] = the n characters preceding suffix SA[i]
+    from avxwindowfmindex_tpu.models import alphabet as alpha
+    from oracle import suffix_array_naive
+
+    seq = random_sequence(rng, 400, AlphabetType.DNA)
+    index = create_index(seq, _cfg())
+    codes, cn = ngram_ops.build_ngram_host(index, n)
+    dirty = 4**n
+    sanitized = alpha.sanitize(np.frombuffer(seq, np.uint8), AlphabetType.DNA)
+    full = bytes(sanitized) + b"$"
+    sa = suffix_array_naive(full)
+    lett = alpha.ascii_to_index(np.frombuffer(full, np.uint8), AlphabetType.DNA)
+    for i in range(index.bwt_length):
+        p = sa[i]
+        if p < n:
+            assert codes[i] == dirty, i
+        else:
+            window = [int(lett[p - n + j]) for j in range(n)]
+            if all(x < 4 for x in window):
+                want = 0
+                for x in window:
+                    want = want * 4 + x
+            else:
+                want = dirty
+            assert codes[i] == want, (i, p, window)
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_cn_is_nmer_range_start(rng, n):
+    seq = random_sequence(rng, 800, AlphabetType.DNA, clean=True)
+    index = create_index(seq, _cfg(k=n))
+    _, cn = ngram_ops.build_ngram_host(index, n)
+    # present n-mers: cn must equal the seed table's range start
+    for w in range(4**n):
+        start, end = index.kmer_seed_table[w]
+        if start <= end:
+            assert cn[w] == start, w
+
+
+@pytest.mark.parametrize("n", [2, 3])
+@pytest.mark.parametrize("kmer_len", [4, 5, 9, 12, 13])
+def test_ngram_counts_match_single_step(rng, n, kmer_len):
+    seq = random_sequence(rng, int(rng.integers(500, 3000)), AlphabetType.DNA)
+    index = create_index(seq, _cfg())
+    single = SearchEngine(index)
+    multi = NgramSearchEngine(index, n=n)
+    kmers = [random_kmer(rng, kmer_len, AlphabetType.DNA) for _ in range(150)]
+    counts = multi.count(kmers)
+    np.testing.assert_array_equal(counts, single.count(kmers))
+    for kmer, got in zip(kmers, counts):
+        assert got == count_occurrences(seq, kmer, AlphabetType.DNA), kmer
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_ngram_locate_matches(rng, n):
+    seq = random_sequence(rng, 1500, AlphabetType.DNA)
+    index = create_index(seq, _cfg(ratio=3))
+    single = SearchEngine(index)
+    multi = NgramSearchEngine(index, n=n)
+    kmers = [random_kmer(rng, 7, AlphabetType.DNA) for _ in range(60)]
+    got = multi.locate(kmers)
+    want = single.locate(kmers)
+    for kmer, a, b in zip(kmers, got, want):
+        np.testing.assert_array_equal(a, b, err_msg=repr(kmer))
+
+
+def test_ngram_fallback_paths(rng):
+    seq = random_sequence(rng, 800, AlphabetType.DNA)
+    index = create_index(seq, _cfg(k=4))
+    single = SearchEngine(index)
+    multi = NgramSearchEngine(index, n=3)
+    # mixed lengths -> fallback
+    kmers = [b"ACGT", b"ACGTAC", b"GATTACA"]
+    np.testing.assert_array_equal(multi.count(kmers), single.count(kmers))
+    # ambiguity chars -> fallback
+    kmers = [b"ACGNT", b"ACGNT", b"ACGNT"]
+    np.testing.assert_array_equal(multi.count(kmers), single.count(kmers))
+    # exactly seed-length -> pure seed lookup
+    kmers = [b"ACGT", b"TTTT"]
+    np.testing.assert_array_equal(multi.count(kmers), single.count(kmers))
+
+
+def test_digram_alias(rng):
+    seq = random_sequence(rng, 500, AlphabetType.DNA)
+    index = create_index(seq, _cfg())
+    eng = DigramSearchEngine(index)
+    assert eng.ng.n == 2
+    assert eng.count([b"GATTACA"])[0] == count_occurrences(
+        seq, b"GATTACA", AlphabetType.DNA
+    )
+
+
+def test_ngram_rejects_amino(rng):
+    seq = random_sequence(rng, 200, AlphabetType.AMINO)
+    index = create_index(seq, IndexConfiguration(4, 2, AlphabetType.AMINO))
+    with pytest.raises(NotImplementedError):
+        NgramSearchEngine(index, n=2)
+
+
+def test_invalid_n(rng):
+    seq = random_sequence(rng, 200, AlphabetType.DNA)
+    index = create_index(seq, _cfg())
+    with pytest.raises(ValueError):
+        NgramSearchEngine(index, n=4)
