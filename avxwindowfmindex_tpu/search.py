@@ -184,10 +184,16 @@ def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool):
     letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
     active = pos >= 0
     uniform = bool(active.all())
-    for t in range(n_steps):
-        if uniform:
-            start, end = _step_all(dev, start, end, jnp.asarray(letters[:, t]))
-        else:
+    if uniform:
+        fuse = _fuse_steps()
+        for lo in range(0, n_steps, fuse):
+            seg = list(range(lo, min(lo + fuse, n_steps)))
+            start, end = _steps_fused(
+                dev, start, end,
+                *[jnp.asarray(letters[:, t]) for t in seg], seg=len(seg),
+            )
+    else:
+        for t in range(n_steps):
             start, end = _step_masked(
                 dev, start, end,
                 jnp.asarray(letters[:, t]), jnp.asarray(active[:, t]),
@@ -528,32 +534,73 @@ class SearchEngine:
 # n-step engine (ops/ngram.py)
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _ngram_step(ng, start, end, *letter_cols):
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _ngram_steps_fused(ng, start, end, *letter_cols, seg):
+    """`seg` consecutive n-gram steps in one program (letter columns
+    flat, leftmost-first within each group, groups right-to-left)."""
     from .ops import ngram as ngram_ops
 
-    letters = [c.astype(jnp.int32) for c in letter_cols]
-    return ngram_ops.ngram_backward_step(ng, start, end, letters)
+    n = ng.n
+    for s in range(seg):
+        letters = [
+            letter_cols[s * n + j].astype(jnp.int32) for j in range(n)
+        ]
+        start, end = ngram_ops.ngram_backward_step(ng, start, end, letters)
+    return start, end
+
+
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _steps_fused(dev, start, end, *letter_cols, seg):
+    """`seg` consecutive unmasked single steps in one program."""
+    for s in range(seg):
+        start, end = rank_ops.backward_step(
+            dev, start, end, letter_cols[s].astype(jnp.int32)
+        )
+    return start, end
+
+
+def _fuse_steps() -> int:
+    """Steps fused per dispatched program on the step-loop path.
+
+    Each extra fused step multiplies (one-time, cached) compile cost but
+    divides the per-dispatch overhead — which dominates on tunneled TPU
+    runtimes measured at ~30 ms per op turnaround.
+    """
+    import os
+
+    return max(1, int(os.environ.get("AWFM_FUSE_STEPS", "1")))
 
 
 def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
     """Host-driven n-step loop over a uniform-length clean batch.
 
     floor(m/n) n-gram steps right-to-left (static columns), then the
-    m mod n leftmost letters as single steps.
+    m mod n leftmost letters as single steps; consecutive steps are
+    grouped into fused programs of AWFM_FUSE_STEPS.
     """
     n = ng.n
     m = kmer_len - seed_k
+    fuse = _fuse_steps()
     start, end = _seed_lookup(
         dev, jnp.asarray(mat[:, kmer_len - seed_k : kmer_len])
     )
-    for t in range(m // n):
-        cols = [m - n * (t + 1) + j for j in range(n)]
-        start, end = _ngram_step(
-            ng, start, end, *[jnp.asarray(mat[:, c]) for c in cols]
+    groups = [
+        [m - n * (t + 1) + j for j in range(n)] for t in range(m // n)
+    ]
+    for lo in range(0, len(groups), fuse):
+        seg = groups[lo : lo + fuse]
+        cols = [c for g in seg for c in g]
+        start, end = _ngram_steps_fused(
+            ng, start, end, *[jnp.asarray(mat[:, c]) for c in cols],
+            seg=len(seg),
         )
-    for c in range(m % n - 1, -1, -1):
-        start, end = _step_all(dev, start, end, jnp.asarray(mat[:, c]))
+    tail = list(range(m % n - 1, -1, -1))
+    for lo in range(0, len(tail), fuse):
+        seg = tail[lo : lo + fuse]
+        start, end = _steps_fused(
+            dev, start, end, *[jnp.asarray(mat[:, c]) for c in seg],
+            seg=len(seg),
+        )
     return start, end
 
 

@@ -134,3 +134,25 @@ def test_invalid_n(rng):
     index = create_index(seq, _cfg())
     with pytest.raises(ValueError):
         NgramSearchEngine(index, n=4)
+
+
+@pytest.mark.parametrize("fuse", ["1", "2", "3"])
+@pytest.mark.parametrize("n", [2, 3])
+def test_steploop_fused_matches_scan(rng, monkeypatch, n, fuse):
+    # the step-loop + fusion path normally runs only on TPU backends;
+    # force it here and compare against the scan path
+    import avxwindowfmindex_tpu.search as search_mod
+
+    monkeypatch.setattr(search_mod, "_use_step_loop", lambda: True)
+    monkeypatch.setenv("AWFM_FUSE_STEPS", fuse)
+    seq = random_sequence(rng, 1200, AlphabetType.DNA)
+    index = create_index(seq, _cfg())
+    single = SearchEngine(index)
+    multi = NgramSearchEngine(index, n=n)
+    kmers = [random_kmer(rng, 11, AlphabetType.DNA) for _ in range(80)]
+    counts = multi.count(kmers)
+    np.testing.assert_array_equal(counts, single.count(kmers))
+    # ragged batch exercises the masked single-step loop
+    ragged = [random_kmer(rng, int(rng.integers(2, 9)), AlphabetType.DNA)
+              for _ in range(40)]
+    np.testing.assert_array_equal(multi.count(ragged), single.count(ragged))
