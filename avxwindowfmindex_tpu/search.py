@@ -254,22 +254,27 @@ def _backtrace_steps(dev, positions, offsets, *, n_steps):
     return p, off
 
 
-@jax.jit
-def _backtrace_step1(dev, p, off):
-    """One masked LF step (step-loop variant of _backtrace_steps)."""
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _backtrace_steps_fused(dev, p, off, *, seg):
+    """`seg` masked LF steps in one program (step-loop variant)."""
     ratio_u = jnp.uint32(dev.ratio)
-    done = (p % ratio_u) == 0
-    _, lf = rank_ops.letter_and_lf_at(dev, p)
-    p2 = jnp.where(done, p, lf)
-    off2 = jnp.where(done, off, off + jnp.uint32(1))
-    return p2, off2
+    for _ in range(seg):
+        done = (p % ratio_u) == 0
+        _, lf = rank_ops.letter_and_lf_at(dev, p)
+        p = jnp.where(done, p, lf)
+        off = jnp.where(done, off, off + jnp.uint32(1))
+    return p, off
 
 
 def _backtrace_steps_any(dev, p, off, n_steps):
-    """n_steps masked LF steps; per-step dispatches on remote TPU."""
+    """n_steps masked LF steps; fused per-dispatch groups on remote TPU."""
     if _use_step_loop():
-        for _ in range(n_steps):
-            p, off = _backtrace_step1(dev, p, off)
+        fuse = _fuse_steps()
+        done_steps = 0
+        while done_steps < n_steps:
+            seg = min(fuse, n_steps - done_steps)
+            p, off = _backtrace_steps_fused(dev, p, off, seg=seg)
+            done_steps += seg
         return p, off
     return _backtrace_steps(dev, p, off, n_steps=n_steps)
 

@@ -79,3 +79,18 @@ def test_locate_empty_result(rng):
     engine = SearchEngine(index)
     hits = engine.locate([b"TTT"])
     assert len(hits) == 1 and len(hits[0]) == 0
+
+
+def test_steploop_backtrace_fused_matches(rng, monkeypatch):
+    import avxwindowfmindex_tpu.search as search_mod
+
+    monkeypatch.setattr(search_mod, "_use_step_loop", lambda: True)
+    monkeypatch.setenv("AWFM_FUSE_STEPS", "4")
+    seq = random_sequence(rng, 900, AlphabetType.DNA)
+    index = create_index(seq, _cfg(AlphabetType.DNA, ratio=8))
+    engine = SearchEngine(index)
+    kmers = [random_kmer(rng, 5, AlphabetType.DNA) for _ in range(30)]
+    hits = engine.locate(kmers)
+    for kmer, h in zip(kmers, hits):
+        want = match_positions(seq, kmer, AlphabetType.DNA)
+        np.testing.assert_array_equal(np.sort(h.astype(np.int64)), want)
