@@ -129,3 +129,27 @@ def test_store_original_sequence_false(rng, tmp_path):
     # search still works
     eng = SearchEngine(loaded)
     assert eng.count([seq[10:16]])[0] >= 1
+
+
+def test_truncated_file_errors_cleanly(rng, tmp_path):
+    seq = random_sequence(rng, 300, AlphabetType.DNA)
+    path = str(tmp_path / "t.awfmi")
+    create_index(seq, _cfg(AlphabetType.DNA), file_src=path)
+    raw = open(path, "rb").read()
+    for cut in (5, 12, 25, len(raw) // 2):
+        trunc = str(tmp_path / f"cut{cut}.awfmi")
+        open(trunc, "wb").write(raw[:cut])
+        with pytest.raises((ValueError, IndexError)):
+            read_index_from_file(trunc)
+
+
+def test_wrong_version_rejected(rng, tmp_path):
+    seq = random_sequence(rng, 200, AlphabetType.DNA)
+    path = str(tmp_path / "t.awfmi")
+    create_index(seq, _cfg(AlphabetType.DNA), file_src=path)
+    raw = bytearray(open(path, "rb").read())
+    raw[10] = 7  # version 7
+    bad = str(tmp_path / "v7.awfmi")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="version"):
+        read_index_from_file(bad)
