@@ -42,6 +42,8 @@ from .models.index import (
     search_range_length,
 )
 from .search import (
+    DigramSearchEngine,
+    NgramSearchEngine,
     SearchEngine,
     backtrace_return_previous_letter_index,
     create_initial_query_range,
@@ -107,6 +109,8 @@ __all__ = [
     "DeviceIndex",
     "FastaMetadata",
     "SearchEngine",
+    "NgramSearchEngine",
+    "DigramSearchEngine",
     "create_index",
     "create_index_from_fasta",
     "read_index_from_file",
