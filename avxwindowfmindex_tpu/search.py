@@ -266,10 +266,22 @@ def _backtrace_steps_fused(dev, p, off, *, seg):
     return p, off
 
 
+def _fuse_backtrace() -> int:
+    """LF steps fused per dispatched program in the backtrace loop.
+
+    Unlike the digram extension (where fusion pessimizes XLA codegen,
+    measured), fused LF chains are simple single-gather programs and
+    amortize dispatch overhead well; default 4.
+    """
+    import os
+
+    return max(1, int(os.environ.get("AWFM_FUSE_BACKTRACE", "4")))
+
+
 def _backtrace_steps_any(dev, p, off, n_steps):
     """n_steps masked LF steps; fused per-dispatch groups on remote TPU."""
     if _use_step_loop():
-        fuse = _fuse_steps()
+        fuse = _fuse_backtrace()
         done_steps = 0
         while done_steps < n_steps:
             seg = min(fuse, n_steps - done_steps)
