@@ -40,9 +40,10 @@ def test_occurrence_matches_cumulative_counts(rng, alphabet):
         np.testing.assert_array_equal(got, want, err_msg=f"letter {lett}")
 
 
-def test_letter_and_lf_matches_host(rng):
-    seq = random_sequence(rng, 1500, AlphabetType.DNA)
-    index = create_index(seq, IndexConfiguration(4, 2, AlphabetType.DNA))
+@pytest.mark.parametrize("alphabet", [AlphabetType.DNA, AlphabetType.AMINO])
+def test_letter_and_lf_matches_host(rng, alphabet):
+    seq = random_sequence(rng, 1500, alphabet)
+    index = create_index(seq, IndexConfiguration(4, 2, alphabet))
     dev = index.to_device()
     bwt = index.bwt_letters.astype(np.int64)
     ps = index.prefix_sums.astype(np.int64)
