@@ -35,10 +35,12 @@ from ..models.index import DeviceIndex, FmIndex
 from ..search import (
     SearchEngine,
     _backtrace_resolve,
+    _ranges_steploop,
     _round_up,
     _round_up_pow2,
     _seeded_ranges,
     _unseeded_ranges,
+    _use_step_loop,
 )
 
 
@@ -143,6 +145,17 @@ class DistributedSearchEngine(SearchEngine):
                 pad = b_pad - sub_mat.shape[0]
                 sub_mat = np.pad(sub_mat, ((0, pad), (0, 0)))
                 sub_len = np.pad(sub_len, (0, pad), constant_values=max(1, k))
+            if _use_step_loop():
+                # per-step GSPMD-partitioned programs: batch elementwise
+                # + replicated-table gathers, no collectives, and no
+                # monolithic scan program to compile on pod runtimes
+                s, e = _ranges_steploop(
+                    dev, sub_mat, sub_len, seeded, put=self._shard
+                )
+                return (
+                    np.asarray(s, dtype=np.uint64),
+                    np.asarray(e, dtype=np.uint64),
+                )
             jm = self._shard(sub_mat)
             jl = self._shard(sub_len)
             if seeded:

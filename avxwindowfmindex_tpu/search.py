@@ -161,23 +161,30 @@ def _step_all(dev, start, end, letters):
     return rank_ops.backward_step(dev, start, end, letters.astype(jnp.int32))
 
 
-def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool):
-    """Host-driven extension loop; bit-identical to the scan kernels."""
+def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool,
+                     put=None):
+    """Host-driven extension loop; bit-identical to the scan kernels.
+
+    ``put`` maps host arrays onto the device(s); pass a sharding
+    device_put for data-parallel meshes (the per-step programs are
+    GSPMD-partitionable: batch-elementwise plus replicated-table
+    gathers, no collectives).
+    """
+    if put is None:
+        put = jnp.asarray
     b, l = mat.shape
     if seeded:
         k = dev.kmer_length_in_seed_table
         idxs = np.clip(lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1)
         start, end = _seed_lookup(
-            dev, jnp.asarray(np.take_along_axis(mat, idxs, axis=1))
+            dev, put(np.take_along_axis(mat, idxs, axis=1))
         )
         n_steps = max(0, l - k)
         pos = lengths[:, None] - k - 1 - np.arange(n_steps)[None, :]
     else:
         start, end = _initial_range(
             dev,
-            jnp.asarray(
-                np.take_along_axis(mat, (lengths - 1)[:, None], axis=1)[:, 0]
-            ),
+            put(np.take_along_axis(mat, (lengths - 1)[:, None], axis=1)[:, 0]),
         )
         n_steps = l - 1
         pos = lengths[:, None] - 2 - np.arange(n_steps)[None, :]
@@ -190,13 +197,12 @@ def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool):
             seg = list(range(lo, min(lo + fuse, n_steps)))
             start, end = _steps_fused(
                 dev, start, end,
-                *[jnp.asarray(letters[:, t]) for t in seg], seg=len(seg),
+                *[put(letters[:, t]) for t in seg], seg=len(seg),
             )
     else:
         for t in range(n_steps):
             start, end = _step_masked(
-                dev, start, end,
-                jnp.asarray(letters[:, t]), jnp.asarray(active[:, t]),
+                dev, start, end, put(letters[:, t]), put(active[:, t])
             )
     return start, end
 

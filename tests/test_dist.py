@@ -73,3 +73,16 @@ def test_mixed_eligibility_sharded(built, rng):
     single = SearchEngine(index)
     kmers = [b"ACGT", b"AC", b"ACGNT", b"TTTTTTT", b"x", b"GATTACA"]
     np.testing.assert_array_equal(dist.count(kmers), single.count(kmers))
+
+
+def test_dist_steploop_matches(built, rng, monkeypatch):
+    # force the GSPMD step-loop path (default on TPU backends)
+    import avxwindowfmindex_tpu.parallel.dist as dist_mod
+
+    monkeypatch.setattr(dist_mod, "_use_step_loop", lambda: True)
+    seq, index = built
+    dist = DistributedSearchEngine(index, make_query_mesh(8))
+    single = SearchEngine(index)
+    kmers = [random_kmer(rng, int(rng.integers(2, 9)), AlphabetType.DNA)
+             for _ in range(80)]
+    np.testing.assert_array_equal(dist.count(kmers), single.count(kmers))
