@@ -88,3 +88,25 @@ def test_rna_builds_like_dna(rng):
     b = create_index(seq_rna, _cfg(AlphabetType.RNA))
     np.testing.assert_array_equal(a.bwt_letters, b.bwt_letters)
     np.testing.assert_array_equal(a.prefix_sums, b.prefix_sums)
+
+
+def test_rna_end_to_end(rng, tmp_path):
+    # RNA alphabet value (3) round-trips through .awfmi and u-queries work
+    from avxwindowfmindex_tpu import SearchEngine, read_index_from_file
+
+    seq = b"ACGUACGUUAGCACGU"
+    cfg = IndexConfiguration(
+        suffix_array_compression_ratio=2,
+        kmer_length_in_seed_table=2,
+        alphabet_type=AlphabetType.RNA,
+    )
+    path = str(tmp_path / "rna.awfmi")
+    index = create_index(seq, cfg, file_src=path)
+    loaded = read_index_from_file(path)
+    assert loaded.config.alphabet_type == AlphabetType.RNA
+    eng = SearchEngine(loaded)
+    assert eng.count([b"ACGU"])[0] == 3
+    assert eng.count([b"ACGT"])[0] == 3  # t == u
+    # seq[8:12] == b"UAGC"
+    hits = sorted(eng.locate([b"UAGC"])[0].tolist())
+    assert hits == [8]
