@@ -583,15 +583,26 @@ def _steps_fused(dev, start, end, *letter_cols, seg):
 
 
 def _fuse_steps() -> int:
-    """Steps fused per dispatched program on the step-loop path.
+    """Single-letter steps fused per dispatched program (step-loop path).
 
     Each extra fused step multiplies (one-time, cached) compile cost but
     divides the per-dispatch overhead — which dominates on tunneled TPU
-    runtimes measured at ~30 ms per op turnaround.
+    runtimes measured at ~30 ms per op turnaround. Measured best: 4.
     """
     import os
 
-    return max(1, int(os.environ.get("AWFM_FUSE_STEPS", "1")))
+    return max(1, int(os.environ.get("AWFM_FUSE_STEPS", "4")))
+
+
+def _fuse_ngram() -> int:
+    """n-gram steps fused per dispatched program.
+
+    Default 1: fusing consecutive digram steps measurably pessimizes
+    XLA codegen (3.01M -> 2.56M q/s on the flagship benchmark).
+    """
+    import os
+
+    return max(1, int(os.environ.get("AWFM_FUSE_NGRAM", "1")))
 
 
 def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
@@ -603,7 +614,7 @@ def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
     """
     n = ng.n
     m = kmer_len - seed_k
-    fuse = _fuse_steps()
+    fuse = _fuse_ngram()
     start, end = _seed_lookup(
         dev, jnp.asarray(mat[:, kmer_len - seed_k : kmer_len])
     )
