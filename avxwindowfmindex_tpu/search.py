@@ -3,11 +3,15 @@
 This is the TPU-native replacement for the reference's whole search stack
 (AwFmSearch.c, AwFmKmerTable.c, AwFmParallelSearch.c). Where the C code
 hides memory latency with 8 interleaved queries per thread + prefetch
-(AwFmParallelSearch.c:273-313), the TPU formulation batches tens of
-thousands of queries per step: the per-letter extension loop is a
-``lax.scan`` over the (padded) letter axis with per-query validity
-masking, and every step performs one fused gather + masked-popcount over
-the whole batch (ops/rank.py).
+(AwFmParallelSearch.c:273-313), the TPU formulation batches up to a
+million queries per step, each step one fused-row gather +
+masked-popcount over the whole batch (ops/rank.py). Two equivalent
+formulations of the extension loop exist: a ``lax.scan`` single program
+(CPU backends: fast local compiles, fewest dispatches) and a host-driven
+step loop of small cached programs (TPU backends: remote compiles of
+monolithic programs take minutes; see _use_step_loop). Both are
+bit-identical; the n-gram engines additionally step 2-3 letters per
+gather (ops/ngram.py).
 
 Pipeline (mirrors §3.2 of SURVEY.md):
   seed   — k-length suffix memo-table gather for eligible kmers
