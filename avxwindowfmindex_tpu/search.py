@@ -435,7 +435,13 @@ class SearchEngine:
             if b_pad != sub_mat.shape[0]:
                 pad = b_pad - sub_mat.shape[0]
                 sub_mat = np.pad(sub_mat, ((0, pad), (0, 0)))
-                sub_len = np.pad(sub_len, (0, pad), constant_values=max(1, k))
+                # pad with the max real length: keeps uniform batches
+                # uniform (the step-loop's unmasked fast path); padded
+                # rows are zeros ('A'*L) and their results are dropped
+                sub_len = np.pad(
+                    sub_len, (0, pad),
+                    constant_values=max(int(sub_len.max()), max(1, k)),
+                )
             if _use_step_loop():
                 s, e = _ranges_steploop(dev, sub_mat, sub_len, seeded)
             elif seeded:
