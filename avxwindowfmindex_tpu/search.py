@@ -401,7 +401,11 @@ class SearchEngine:
         mat = np.zeros((b_pad, l_pad), dtype=np.uint8)
         for i, e in enumerate(encoded):
             mat[i, : len(e)] = e
-        lengths_padded = np.ones(b_pad, dtype=np.int32)
+        # pad rows mimic the first real kmer's length ('A'*L content) so
+        # they share its seed eligibility and batch uniformity — a pad
+        # length of 1 would force a pointless mixed seeded/unseeded
+        # partition on every non-power-of-two batch
+        lengths_padded = np.full(b_pad, lengths[0], dtype=np.int32)
         lengths_padded[: len(lengths)] = lengths
         return mat, lengths_padded, len(kmers)
 
