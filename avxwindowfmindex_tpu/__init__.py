@@ -57,6 +57,16 @@ from .search import (
 )
 
 
+def chunked_corpus_index(sequence, config=None, chunk_bases=(1 << 31), overlap=255):
+    """Build a ChunkedCorpusIndex for corpora beyond the uint32 device
+    limit (overlapping sub-indexes behaving like one big index)."""
+    from .parallel.chunked import ChunkedCorpusIndex
+
+    return ChunkedCorpusIndex.build(
+        sequence, config, chunk_bases=chunk_bases, overlap=overlap
+    )
+
+
 def save_artifact(index, path: str) -> None:
     """Serialize to the native .awfmx NPZ artifact (fast load path)."""
     from .io import artifact
@@ -123,6 +133,7 @@ __all__ = [
     "backtrace_return_previous_letter_index",
     "save_artifact",
     "load_artifact",
+    "chunked_corpus_index",
     "single_kmer_exists",
     "query_can_use_kmer_table",
     "iterative_step_backward_search",
