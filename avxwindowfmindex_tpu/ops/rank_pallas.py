@@ -38,40 +38,46 @@ _TILE = 1024  # rows per grid step; (1024, 128) u8 = 128 KB in VMEM
 
 def _rank_kernel(rows_ref, local_ref, letter_ref, ms_ref, out_ref, *,
                  n_planes, cardinality, code_lut):
-    rows = rows_ref[:, :]  # (TILE, 32*n_planes) uint8 plane bytes
-    local = local_ref[:, 0]  # (TILE,)
-    letter = letter_ref[:, 0]
+    # Mosaic constraints: keep every value 2D and compute in 32-bit
+    # lanes (1D<->2D reshapes and i1->i8 select relayouts of sub-32-bit
+    # vectors are unsupported). Rows are widened to int32 on load; byte
+    # complement is `x ^ 255`.
+    rows = rows_ref[:, :].astype(jnp.int32)  # (TILE, 32*n_planes) 0..255
+    local = local_ref[:, :]  # (TILE, 1) int32
+    letter = letter_ref[:, :]  # (TILE, 1) int32
 
-    # code-equality match over the planes (one-hot code masks)
+    # letter -> compressed code via one-hot arithmetic (all int32)
+    code = jnp.zeros(letter.shape, dtype=jnp.int32)
+    for j in range(cardinality + 1):
+        code = code + jnp.where(letter == j, jnp.int32(code_lut[j]), 0)
+
+    # code-equality match over the planes
     diff = None
     for i in range(n_planes):
-        m = jnp.zeros(letter.shape, dtype=jnp.uint8)
-        for j in range(cardinality + 1):
-            if (code_lut[j] >> i) & 1:
-                m = m | jnp.where(letter == j, jnp.uint8(0xFF), jnp.uint8(0))
-        x = rows[:, i * 32 : (i + 1) * 32] ^ m[:, None]
+        m = ((code >> i) & 1) * 255  # (TILE, 1): 0x00 or 0xFF
+        x = rows[:, i * 32 : (i + 1) * 32] ^ m
         diff = x if diff is None else (diff | x)
-    match = ~diff
+    match = diff ^ 255  # per-byte complement
 
     # inclusive mask: keep bits 0..local (AwFmSimdConfig.c:91 semantics)
-    byte_idx = (local >> 3)[:, None]
-    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
-    low = (jnp.uint8(2) << bit_idx) - jnp.uint8(1)
+    byte_idx = local >> 3
+    bit_idx = local & 7
+    low = (jnp.int32(2) << bit_idx) - 1
     b_iota = lax.broadcasted_iota(jnp.int32, (1, 32), 1)
     mask = jnp.where(
-        b_iota < byte_idx, jnp.uint8(0xFF),
-        jnp.where(b_iota == byte_idx, low, jnp.uint8(0)),
+        b_iota < byte_idx, jnp.int32(255),
+        jnp.where(b_iota == byte_idx, low, 0),
     )
 
     cnt = jnp.sum(
-        lax.population_count(match & mask), axis=1, dtype=jnp.int32
+        lax.population_count(match & mask), axis=1, keepdims=True
     )
 
     # milestone one-hot select
     ms = jnp.zeros(letter.shape, dtype=jnp.uint32)
     for j in range(cardinality + 1):
-        ms = ms + jnp.where(letter == j, ms_ref[:, j], jnp.uint32(0))
-    out_ref[:, 0] = ms + cnt.astype(jnp.uint32)
+        ms = ms + jnp.where(letter == j, ms_ref[:, j : j + 1], jnp.uint32(0))
+    out_ref[:, :] = ms + cnt.astype(jnp.uint32)
 
 
 @functools.partial(
