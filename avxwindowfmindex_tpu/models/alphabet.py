@@ -46,21 +46,24 @@ POSITIONS_PER_BLOCK = 256  # AwFmIndex.h:20
 
 
 def _build_nucleotide_ascii_to_index() -> np.ndarray:
-    lut = np.full(256, NUCLEOTIDE_AMBIGUITY_INDEX, dtype=np.uint8)
-    for chars, idx in (("aA", 0), ("cC", 1), ("gG", 2), ("tTuU", 3)):
-        for ch in chars:
-            lut[ord(ch)] = idx
-    # '$' has bit 0x20 set already, so `| 0x20` leaves it unchanged
-    lut[ord("$")] = NUCLEOTIDE_SENTINEL_INDEX
+    # built from the reference's exact rule — switch on (byte | 0x20)
+    # (AwFmLetter.c:5-21). Note this maps byte 0x04 to the sentinel too,
+    # since 0x04 | 0x20 == 0x24 == '$'.
+    mapping = {"a": 0, "c": 1, "g": 2, "t": 3, "u": 3,
+               "$": NUCLEOTIDE_SENTINEL_INDEX}
+    lut = np.empty(256, dtype=np.uint8)
+    for b in range(256):
+        lut[b] = mapping.get(chr(b | 0x20), NUCLEOTIDE_AMBIGUITY_INDEX)
     return lut
 
 
 def _build_nucleotide_sanitize() -> np.ndarray:
-    lut = np.full(256, ord("x"), dtype=np.uint8)
-    for ch in "acgtu$":
-        lut[ord(ch)] = ord(ch)
-        lut[ord(ch.upper())] = ord(ch)  # sanitizer lowercases
-    lut[ord("$")] = ord("$")
+    # switch on (byte | 0x20), emitting the lowercase form
+    # (AwFmLetter.c:24-42); everything else -> 'x'
+    lut = np.empty(256, dtype=np.uint8)
+    for b in range(256):
+        low = chr(b | 0x20)
+        lut[b] = ord(low) if low in "acgtu$" else ord("x")
     return lut
 
 

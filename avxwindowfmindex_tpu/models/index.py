@@ -343,11 +343,17 @@ class FmIndex:
         mirroring baseOccurrences (AwFmCreate.c:309, 366).
         """
         n_letters = self.cardinality + 2
-        blocks = block_index_from_position(np.arange(self.bwt_length))
-        counts = np.bincount(
-            blocks * n_letters + self.bwt_letters.astype(np.int64),
-            minlength=self.num_blocks * n_letters,
-        ).reshape(self.num_blocks, n_letters).astype(np.uint64)
+        # per-letter per-block sums over the (nb, 256) uint8 view: avoids
+        # the O(bwt_length) int64 key temporaries a flat bincount needs
+        # (~50 GB transient at hg38 scale)
+        blocks_mat = self.letters_as_blocks()
+        if self.bwt_length % POSITIONS_PER_BLOCK:
+            # mask the sentinel-padded tail out of the counts
+            blocks_mat = blocks_mat.copy()
+            blocks_mat.reshape(-1)[self.bwt_length :] = 255
+        counts = np.empty((self.num_blocks, n_letters), dtype=np.uint64)
+        for lett in range(n_letters):
+            counts[:, lett] = (blocks_mat == lett).sum(axis=1)
         cum = np.cumsum(counts, axis=0)
         milestones = np.zeros_like(cum)
         milestones[1:] = cum[:-1]

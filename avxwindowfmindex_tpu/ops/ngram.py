@@ -141,11 +141,13 @@ def pack_ngram_blocks(codes: np.ndarray, n: int) -> np.ndarray:
         out[:, b * 32 : (b + 1) * 32] = np.packbits(
             bits, axis=1, bitorder="little"
         )
-    blocks = np.arange(length) // POSITIONS_PER_BLOCK
-    counts = np.bincount(
-        blocks * (n_words + 1) + codes.astype(np.int64),
-        minlength=nb * (n_words + 1),
-    ).reshape(nb, n_words + 1)[:, :n_words]
+    # per-symbol per-block sums over the (nb, 256) uint8 view: avoids
+    # the O(length) int64 key temporaries of a flat bincount (tens of
+    # GB transient at genome scale)
+    codes_mat = padded.reshape(nb, POSITIONS_PER_BLOCK)
+    counts = np.empty((nb, n_words), dtype=np.int64)
+    for w in range(n_words):
+        counts[:, w] = (codes_mat == w).sum(axis=1)
     cum = np.cumsum(counts, axis=0)
     milestones = np.zeros_like(cum)
     milestones[1:] = cum[:-1]

@@ -108,6 +108,16 @@ def _milestone(dev, rows, letter_indices):
     return out
 
 
+def _prefix_sum_select(dev, letter_indices):
+    """C[letter] via arithmetic one-hot select over the A+2 entries —
+    keeps the hot loops free of per-query table gathers (the module
+    invariant; measured slower than the row gather itself)."""
+    out = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
+    for j in range(dev.cardinality + 2):
+        out = out + jnp.where(letter_indices == j, dev.prefix_sums[j], jnp.uint32(0))
+    return out
+
+
 def _count_rows(dev, rows, local, letter_indices):
     match = _match_bytes(dev, rows, letter_indices)
     masked = match & _inclusive_mask(local)
@@ -147,7 +157,7 @@ def backward_step(dev, start, end, letter_indices, active=None, check_valid=True
     in AwFmCreate.c:434-442 which extends even already-empty ranges.
     """
     b = start.shape[0]
-    c = dev.prefix_sums[letter_indices]
+    c = _prefix_sum_select(dev, letter_indices)
     pos = jnp.concatenate([start - jnp.uint32(1), end])
     ll = jnp.concatenate([letter_indices, letter_indices])
     occ = occurrence(dev, pos, ll)
@@ -199,6 +209,6 @@ def letter_and_lf_at(dev, positions):
     # clamp the sentinel for the selects below; its result is overridden.
     lclip = jnp.minimum(lett, dev.cardinality)
     occ = _count_rows(dev, rows, local, lclip)
-    lf = dev.prefix_sums[lclip] + occ - jnp.uint32(1)
+    lf = _prefix_sum_select(dev, lclip) + occ - jnp.uint32(1)
     lf = jnp.where(is_sentinel, jnp.uint32(0), lf)
     return lett, lf

@@ -13,6 +13,7 @@ list-in/list-out functions below are the idiomatic surface.
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
@@ -20,6 +21,9 @@ import numpy as np
 from ..models.index import FmIndex
 from ..search import SearchEngine
 
+# engines keyed by index identity; a weakref finalizer evicts the entry
+# when the index is garbage collected so dead indexes don't pin their
+# host arrays and HBM forever
 _ENGINE_CACHE: dict = {}
 
 
@@ -28,6 +32,8 @@ def _engine_for(index: FmIndex) -> SearchEngine:
     eng = _ENGINE_CACHE.get(key)
     if eng is None or eng.dev is not index._device_cache:
         eng = SearchEngine(index)
+        if key not in _ENGINE_CACHE:
+            weakref.finalize(index, _ENGINE_CACHE.pop, key, None)
         _ENGINE_CACHE[key] = eng
     return eng
 

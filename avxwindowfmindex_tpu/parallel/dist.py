@@ -144,7 +144,12 @@ class DistributedSearchEngine(SearchEngine):
             if b_pad != sub_mat.shape[0]:
                 pad = b_pad - sub_mat.shape[0]
                 sub_mat = np.pad(sub_mat, ((0, pad), (0, 0)))
-                sub_len = np.pad(sub_len, (0, pad), constant_values=max(1, k))
+                # max real length keeps uniform batches on the unmasked
+                # fast path (mirrors SearchEngine.run)
+                sub_len = np.pad(
+                    sub_len, (0, pad),
+                    constant_values=max(int(sub_len.max()), max(1, k)),
+                )
             if _use_step_loop():
                 # per-step GSPMD-partitioned programs: batch elementwise
                 # + replicated-table gathers, no collectives, and no

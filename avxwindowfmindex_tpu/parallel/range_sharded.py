@@ -92,42 +92,67 @@ class RangeShardedSearchEngine(SearchEngine):
         self.host_index = index
         self.mesh = mesh if mesh is not None else make_index_mesh()
         self.n_dev = int(self.mesh.devices.size)
-        base = index.to_device()
+        if index.sampled_sa is None:
+            raise ValueError(
+                "range-sharded search requires the sampled suffix array in "
+                "memory (load with keep_suffix_array_in_memory=True)"
+            )
         self._ascii_lut = (
             alpha.AA_ASCII_TO_INDEX
             if index.alphabet.name == "AMINO"
             else alpha.NT_ASCII_TO_INDEX
         )
 
-        nb = base.packed.shape[0]
+        # Build shards HOST-side: this mode exists for indexes that do
+        # not fit one chip, so the block array must never round-trip
+        # through a single device (and device->host pulls can run at
+        # ~0.3 MB/s through remote-TPU tunnels).
+        from ..models.index import (
+            device_code_masks,
+            pack_device_blocks,
+        )
+
+        packed_host_full = pack_device_blocks(
+            index.bwt_letters, index.milestones(), index.alphabet
+        )
+        nb = packed_host_full.shape[0]
         self.blocks_per_shard = -(-nb // self.n_dev)  # ceil
         nb_padded = self.blocks_per_shard * self.n_dev
-        packed_host = np.zeros((nb_padded, base.packed.shape[1]), dtype=np.uint8)
-        packed_host[:nb] = np.asarray(base.packed)
+        packed_host = np.zeros(
+            (nb_padded, packed_host_full.shape[1]), dtype=np.uint8
+        )
+        packed_host[:nb] = packed_host_full
+        del packed_host_full
         # sampled SA sharded the same way (by sample index range)
-        n_samples = base.sampled_sa.shape[0]
+        sa_host = index.sampled_sa.astype(np.uint32)
+        n_samples = len(sa_host)
         self.samples_per_shard = -(-n_samples // self.n_dev)
         sa_padded = np.zeros(self.samples_per_shard * self.n_dev, dtype=np.uint32)
-        sa_padded[:n_samples] = np.asarray(base.sampled_sa)
+        sa_padded[:n_samples] = sa_host
 
         shard = lambda arr, spec: jax.device_put(
             jnp.asarray(arr), NamedSharding(self.mesh, spec)
         )
         rep = lambda arr: jax.device_put(
-            arr, NamedSharding(self.mesh, P())
+            jnp.asarray(arr), NamedSharding(self.mesh, P())
         )
-        import dataclasses as _dc
 
-        self.dev = _dc.replace(
-            base,
+        self.dev = DeviceIndex(
             packed=shard(packed_host, P(AXIS, None)),
+            prefix_sums=rep(index.prefix_sums.astype(np.uint32)),
+            seed_table=rep(index.seed_table_host().astype(np.uint32)),
             sampled_sa=shard(sa_padded, P(AXIS)),
-            prefix_sums=rep(base.prefix_sums),
-            seed_table=rep(base.seed_table),
-            code_masks=rep(base.code_masks),
-            vec_to_index=rep(base.vec_to_index),
+            code_masks=rep(device_code_masks(index.alphabet)),
+            vec_to_index=rep(
+                alpha.vector_to_index_lut(index.alphabet).astype(np.int32)
+            ),
+            bwt_length=int(index.bwt_length),
+            ratio=int(index.config.suffix_array_compression_ratio),
+            kmer_length_in_seed_table=int(index.config.kmer_length_in_seed_table),
+            alphabet=index.alphabet,
         )
         self._ranges_fns = {}
+        self._resolve_fn = None
 
     # -- sharded kernels ----------------------------------------------------
 
@@ -203,7 +228,12 @@ class RangeShardedSearchEngine(SearchEngine):
             if b_pad != sub_mat.shape[0]:
                 pad = b_pad - sub_mat.shape[0]
                 sub_mat = np.pad(sub_mat, ((0, pad), (0, 0)))
-                sub_len = np.pad(sub_len, (0, pad), constant_values=max(1, k))
+                # max real length keeps uniform batches on the unmasked
+                # fast path (mirrors SearchEngine.run)
+                sub_len = np.pad(
+                    sub_len, (0, pad),
+                    constant_values=max(int(sub_len.max()), max(1, k)),
+                )
             rep = NamedSharding(self.mesh, P())
             jm = jax.device_put(jnp.asarray(sub_mat), rep)
             jl = jax.device_put(jnp.asarray(sub_len), rep)
@@ -310,13 +340,15 @@ class RangeShardedSearchEngine(SearchEngine):
             sa_vals = jax.lax.psum(vals, AXIS)
             return (sa_vals + off) % jnp.uint32(bwt_length)
 
-        mapped = _shard_map(
-            body, mesh=self.mesh,
-            in_specs=(_dev_specs(self.dev), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
-        fn = jax.jit(mapped)
+        if self._resolve_fn is None:
+            mapped = _shard_map(
+                body, mesh=self.mesh,
+                in_specs=(_dev_specs(self.dev), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+            self._resolve_fn = jax.jit(mapped)
+        fn = self._resolve_fn
 
         b_pad = _round_up_pow2(n)
         padded = np.zeros(b_pad, dtype=np.uint32)

@@ -98,6 +98,8 @@ class ReliableSearchEngine:
         return results
 
     def count(self, kmers: Sequence[Union[str, bytes]]) -> np.ndarray:
+        if not kmers:
+            return np.empty(0, dtype=np.uint64)
         return np.concatenate(self._sharded("count", kmers))
 
     def locate(self, kmers: Sequence[Union[str, bytes]]) -> List[np.ndarray]:

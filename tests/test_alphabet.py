@@ -7,15 +7,21 @@ from avxwindowfmindex_tpu.models.config import AlphabetType
 
 
 def test_nucleotide_ascii_to_index_exhaustive():
-    # AwFmLetter.c:4-22
+    # AwFmLetter.c:4-22 — the reference switches on (byte | 0x20), which
+    # also maps e.g. byte 0x04 to the sentinel (0x04|0x20 == '$')
     expected = {"a": 0, "c": 1, "g": 2, "t": 3, "u": 3, "$": 5}
     for code in range(256):
-        ch = chr(code | 0x20) if 0 < code < 128 else None
-        want = expected.get(chr(code).lower(), 4) if code < 128 else 4
-        if chr(code) == "$":
-            want = 5
+        want = expected.get(chr(code | 0x20), 4)
         got = int(alpha.nucleotide_ascii_to_index(code))
-        assert got == want, (code, chr(code) if code < 128 else code, got, want)
+        assert got == want, (code, got, want)
+
+
+def test_nucleotide_sanitize_exhaustive():
+    # AwFmLetter.c:24-42 — same (byte | 0x20) rule, lowercase output
+    for code in range(256):
+        low = chr(code | 0x20)
+        want = low if low in "acgtu$" else "x"
+        assert chr(alpha.sanitize(code, AlphabetType.DNA)) == want, code
 
 
 def test_nucleotide_sanitize():
@@ -80,3 +86,9 @@ def test_rna_aliases_to_t():
     # 'u' -> 3, same as 't' (AwFmLetter.c:15-16)
     seq = np.frombuffer(b"uUtT", dtype=np.uint8)
     assert (alpha.nucleotide_ascii_to_index(seq) == 3).all()
+
+
+def test_byte_0x04_maps_to_sentinel():
+    # 0x04 | 0x20 == 0x24 == '$' — the reference's switch sees a sentinel
+    assert int(alpha.nucleotide_ascii_to_index(0x04)) == 5
+    assert chr(alpha.sanitize(0x04, AlphabetType.DNA)) == "$"

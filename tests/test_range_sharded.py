@@ -60,3 +60,24 @@ def test_sharded_amino(rng):
     single = SearchEngine(index)
     kmers = [random_kmer(rng, 4, AlphabetType.AMINO) for _ in range(40)]
     np.testing.assert_array_equal(sharded.count(kmers), single.count(kmers))
+
+
+def test_on_disk_sa_rejected_clearly(rng, tmp_path):
+    from avxwindowfmindex_tpu import read_index_from_file
+
+    seq = random_sequence(rng, 600, AlphabetType.DNA)
+    cfg = IndexConfiguration(4, 2, AlphabetType.DNA)
+    path = str(tmp_path / "r.awfmi")
+    create_index(seq, cfg, file_src=path)
+    on_disk = read_index_from_file(path, keep_suffix_array_in_memory=False)
+    with pytest.raises(ValueError, match="suffix array"):
+        RangeShardedSearchEngine(on_disk, make_index_mesh(2))
+
+
+def test_resolve_fn_cached(built):
+    seq, index = built
+    eng = RangeShardedSearchEngine(index, make_index_mesh(2))
+    eng.locate([b"ACGT"])
+    fn1 = eng._resolve_fn
+    eng.locate([b"GATT"])
+    assert eng._resolve_fn is fn1  # no rebuild per call

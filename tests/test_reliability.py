@@ -87,3 +87,10 @@ def test_locate_through_retry(built, rng):
     got = eng.locate(kmers)
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a, b)
+
+
+def test_empty_kmer_list(built):
+    seq, index = built
+    eng = ReliableSearchEngine(index)
+    assert len(eng.count([])) == 0
+    assert eng.locate([]) == []
