@@ -98,6 +98,8 @@ def suffix_array(sequence: np.ndarray) -> np.ndarray:
         raise RuntimeError("native host library unavailable")
     seq = np.ascontiguousarray(sequence, dtype=np.uint8)
     n = len(seq)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
     out = np.empty(n, dtype=np.int64)
     rc = lib.awfm_suffix_array(
         seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

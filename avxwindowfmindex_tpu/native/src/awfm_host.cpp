@@ -7,6 +7,7 @@
 //
 // Exposed with C linkage for ctypes binding (see ../hostlib.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -139,31 +140,47 @@ int awfm_read_fasta(const char* path, uint8_t** seq_out, int64_t* seq_len,
                     int64_t* num_seqs) {
   FILE* fh = fopen(path, "rb");
   if (!fh) return -1;
+  // Slurp the whole file and scan for newlines: robust to NUL bytes in
+  // lines (fgets/strlen would truncate and desynchronize the parse).
+  std::vector<uint8_t> data;
+  {
+    if (fseek(fh, 0, SEEK_END) != 0) {
+      fclose(fh);
+      return -1;
+    }
+    long size = ftell(fh);
+    if (size < 0) {
+      fclose(fh);
+      return -1;
+    }
+    rewind(fh);
+    data.resize((size_t)size);
+    if (size > 0 && fread(data.data(), 1, (size_t)size, fh) != (size_t)size) {
+      fclose(fh);
+      return -1;
+    }
+  }
+  fclose(fh);
 
   std::vector<uint8_t> seq, headers;
   std::vector<int64_t> header_ends, seq_ends;
-  seq.reserve(1 << 20);
+  seq.reserve(data.size());
   bool started = false;
   int64_t current_len = 0;
 
-  std::vector<char> line(1 << 16);
-  while (fgets(line.data(), (int)line.size(), fh)) {
-    size_t len = strlen(line.data());
-    // handle lines longer than the buffer by draining continuations
-    bool complete = len > 0 && line[len - 1] == '\n';
-    while (len > 0 && (line[len - 1] == '\n' || line[len - 1] == '\r')) len--;
+  size_t pos = 0;
+  while (pos < data.size()) {
+    size_t eol = pos;
+    while (eol < data.size() && data[eol] != '\n') eol++;
+    size_t line_end = eol;
+    while (line_end > pos && data[line_end - 1] == '\r') line_end--;
+    const uint8_t* line = data.data() + pos;
+    size_t len = line_end - pos;
     if (len > 0 && line[0] == '>') {
       if (started) seq_ends.push_back(current_len);
       started = true;
       current_len = 0;
-      headers.insert(headers.end(), line.data() + 1, line.data() + len);
-      // drain an over-long header line
-      while (!complete && fgets(line.data(), (int)line.size(), fh)) {
-        size_t l2 = strlen(line.data());
-        complete = l2 > 0 && line[l2 - 1] == '\n';
-        while (l2 > 0 && (line[l2 - 1] == '\n' || line[l2 - 1] == '\r')) l2--;
-        headers.insert(headers.end(), line.data(), line.data() + l2);
-      }
+      headers.insert(headers.end(), line + 1, line + len);
       header_ends.push_back((int64_t)headers.size());
     } else if (len > 0) {
       if (!started) {  // data before any header: one unnamed record
@@ -171,27 +188,15 @@ int awfm_read_fasta(const char* path, uint8_t** seq_out, int64_t* seq_len,
         header_ends.push_back((int64_t)headers.size());
       }
       for (size_t i = 0; i < len; i++) {
-        char c = line[i];
+        uint8_t c = line[i];
         if (c != ' ' && c != '\t' && c != '\v' && c != '\f') {
-          seq.push_back((uint8_t)c);
+          seq.push_back(c);
           current_len++;
         }
       }
-      while (!complete && fgets(line.data(), (int)line.size(), fh)) {
-        size_t l2 = strlen(line.data());
-        complete = l2 > 0 && line[l2 - 1] == '\n';
-        while (l2 > 0 && (line[l2 - 1] == '\n' || line[l2 - 1] == '\r')) l2--;
-        for (size_t i = 0; i < l2; i++) {
-          char c = line[i];
-          if (c != ' ' && c != '\t' && c != '\v' && c != '\f') {
-            seq.push_back((uint8_t)c);
-            current_len++;
-          }
-        }
-      }
     }
+    pos = eol + 1;
   }
-  fclose(fh);
   if (started) seq_ends.push_back(current_len);
   // cumulative sequence ends
   int64_t acc = 0;
@@ -214,8 +219,18 @@ int awfm_read_fasta(const char* path, uint8_t** seq_out, int64_t* seq_len,
   *seq_ends_out =
       (int64_t*)dup(seq_ends.data(), seq_ends.size() * sizeof(int64_t));
   *num_seqs = (int64_t)seq_ends.size();
-  if (!*seq_out || !*headers_out || !*header_ends_out || !*seq_ends_out)
+  if (!*seq_out || !*headers_out || !*header_ends_out || !*seq_ends_out) {
+    // free whatever succeeded so a failed parse leaks nothing
+    free(*seq_out);
+    free(*headers_out);
+    free(*header_ends_out);
+    free(*seq_ends_out);
+    *seq_out = nullptr;
+    *headers_out = nullptr;
+    *header_ends_out = nullptr;
+    *seq_ends_out = nullptr;
     return -2;
+  }
   return 0;
 }
 

@@ -94,3 +94,22 @@ def test_native_fasta_crlf_and_headerless(tmp_path):
 def test_native_fasta_missing_file():
     with pytest.raises(FileNotFoundError):
         hostlib.read_fasta("/nonexistent/definitely_missing.fa")
+
+
+def test_native_fasta_nul_bytes_match_python(tmp_path):
+    # NUL inside a sequence line must not desynchronize the parse
+    from avxwindowfmindex_tpu.io.fasta import read_fasta_python
+
+    fasta = tmp_path / "nul.fasta"
+    fasta.write_bytes(b">h1\nAC\x00GT\n>h2\nTTTT\n")
+    seq_n, md_n = hostlib.read_fasta(str(fasta))
+    seq_p, md_p = read_fasta_python(str(fasta))
+    assert seq_n == seq_p == b"AC\x00GTTTTT"
+    assert md_n.num_sequences == md_p.num_sequences == 2
+    np.testing.assert_array_equal(md_n.sequence_ends, md_p.sequence_ends)
+
+
+def test_native_empty_suffix_array():
+    np.testing.assert_array_equal(
+        hostlib.suffix_array(np.empty(0, np.uint8)), np.empty(0, np.int64)
+    )

@@ -35,6 +35,13 @@ class FlakyEngine(SearchEngine):
         return super().locate(kmers)
 
 
+@pytest.fixture(autouse=True)
+def _reset_flaky_state():
+    FlakyEngine.failures_remaining = 0
+    yield
+    FlakyEngine.failures_remaining = 0
+
+
 @pytest.fixture
 def built(rng, tmp_path):
     seq = random_sequence(rng, 1200, AlphabetType.DNA)
@@ -71,7 +78,6 @@ def test_retry_exhaustion_raises(built, rng):
     )
     with pytest.raises(RuntimeError, match="injected fault"):
         eng.count([b"ACGT"] * 10)
-    FlakyEngine.failures_remaining = 0
 
 
 def test_locate_through_retry(built, rng):
