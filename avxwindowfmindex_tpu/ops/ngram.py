@@ -72,17 +72,17 @@ def _lf_array(index: FmIndex) -> np.ndarray:
     bwt = index.bwt_letters.astype(np.int64)
     ps = index.prefix_sums.astype(np.int64)
     sentinel = index.sentinel_index
-    counts = np.bincount(bwt, minlength=sentinel + 1)
-    order = np.argsort(bwt, kind="stable")
     lf = np.zeros(index.bwt_length, dtype=np.int64)
-    group_start = 0
+    # per-letter position lists replace a full stable argsort: same
+    # grouping/order (flatnonzero is ascending) at O(n) per letter and a
+    # fraction of the temporaries — the argsort dominated genome-scale
+    # digram builds
     for lett in range(sentinel + 1):
-        grp = order[group_start : group_start + counts[lett]]
+        grp = np.flatnonzero(bwt == lett)
         if lett == sentinel:
             lf[grp] = 0
         else:
-            lf[grp] = ps[lett] + np.arange(counts[lett], dtype=np.int64)
-        group_start += counts[lett]
+            lf[grp] = ps[lett] + np.arange(len(grp), dtype=np.int64)
     return lf
 
 
