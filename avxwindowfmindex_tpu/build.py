@@ -35,12 +35,24 @@ def _compute_bwt_letters(
     """BWT letter indices in SA order (AwFmCreate.c:315-335).
 
     letter[i] = sentinel if SA[i] == 0 else letterIndex(seq[SA[i] - 1]).
+
+    Chunked so the int64 temporaries stay bounded: at hg38 scale the SA
+    is ~25 GB and whole-array `sa - 1` / `np.where` doubles-to-triples
+    that transiently.
     """
-    prev = sa - 1
-    lett = alpha.ascii_to_index(
-        sanitized_with_sentinel[np.where(prev < 0, 0, prev)], alphabet
-    ).astype(np.uint8)
-    lett[sa == 0] = alpha.sentinel_index(alphabet)
+    n = len(sa)
+    lett = np.empty(n, dtype=np.uint8)
+    sentinel = alpha.sentinel_index(alphabet)
+    chunk = 1 << 26
+    for lo in range(0, n, chunk):
+        s = sa[lo : lo + chunk]
+        prev = s - 1
+        np.maximum(prev, 0, out=prev)
+        part = alpha.ascii_to_index(
+            sanitized_with_sentinel[prev], alphabet
+        ).astype(np.uint8, copy=False)
+        part[s == 0] = sentinel
+        lett[lo : lo + chunk] = part
     return lett
 
 
@@ -77,6 +89,7 @@ def _build_from_sanitized(
     bwt_letters = _compute_bwt_letters(seq_with_sentinel, sa, config.alphabet_type)
     prefix_sums = _compute_prefix_sums(bwt_letters, config.alphabet_type)
     sampled = sa[:: config.suffix_array_compression_ratio].astype(np.uint64)
+    del sa  # the full SA (~25 GB at hg38 scale) is not needed past sampling
 
     feature_flags = 0
     if fasta_metadata is not None:

@@ -67,62 +67,107 @@ jax.tree_util.register_dataclass(
 # Host-side construction
 # ---------------------------------------------------------------------------
 
+_HOST_CHUNK = 1 << 26  # 64M positions per pass bounds host temporaries
+
+
 def _lf_array(index: FmIndex) -> np.ndarray:
-    """Vectorized LF over all BWT positions (sentinel -> 0)."""
-    bwt = index.bwt_letters.astype(np.int64)
-    ps = index.prefix_sums.astype(np.int64)
+    """Vectorized LF over all BWT positions (sentinel -> 0).
+
+    Memory-lean for genome-scale inputs: uint32 output when it fits
+    (device search requires bwtLength < 2^32 anyway), per-letter
+    flatnonzero groups instead of a full stable argsort, and no int64
+    copy of the BWT. An int64 whole-array formulation transiently needs
+    >5x bwtLength * 8 bytes (~125 GB at hg38 scale — OOM).
+    """
+    bwt = index.bwt_letters  # uint8, not copied
+    ps = index.prefix_sums
     sentinel = index.sentinel_index
-    lf = np.zeros(index.bwt_length, dtype=np.int64)
-    # per-letter position lists replace a full stable argsort: same
-    # grouping/order (flatnonzero is ascending) at O(n) per letter and a
-    # fraction of the temporaries — the argsort dominated genome-scale
-    # digram builds
+    dtype = np.uint32 if index.bwt_length < (1 << 32) else np.int64
+    lf = np.zeros(index.bwt_length, dtype=dtype)
+    # flatnonzero is ascending, so each letter's occurrences keep their
+    # BWT order — the defining property of LF
     for lett in range(sentinel + 1):
         grp = np.flatnonzero(bwt == lett)
-        if lett == sentinel:
-            lf[grp] = 0
-        else:
-            lf[grp] = ps[lett] + np.arange(len(grp), dtype=np.int64)
+        if lett != sentinel:
+            vals = np.arange(len(grp), dtype=dtype)
+            vals += dtype(int(ps[lett]))
+            lf[grp] = vals
+            del vals
+        del grp
     return lf
 
 
+def _letter_counts_before(bwt: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """occ matrix: out[x, i] = #{p < bounds[i] : bwt[p] == x}, x in 0..3.
+
+    One chunked pass over the BWT; replaces per-letter position lists
+    (which together hold the whole index as int64 — ~25 GB at hg38
+    scale) for the handful of thresholds the Cn fold needs.
+    """
+    bounds = np.asarray(bounds, dtype=np.int64)
+    order = np.argsort(bounds, kind="stable")
+    out = np.zeros((4, len(bounds)), dtype=np.int64)
+    running = np.zeros(4, dtype=np.int64)
+    bi = 0
+    n = len(bwt)
+    for lo in range(0, n, _HOST_CHUNK):
+        hi = min(lo + _HOST_CHUNK, n)
+        while bi < len(order) and bounds[order[bi]] <= hi:
+            b = int(bounds[order[bi]])
+            out[:, order[bi]] = running + np.bincount(
+                bwt[lo:b], minlength=8
+            )[:4]
+            bi += 1
+        if bi == len(order):
+            break
+        running += np.bincount(bwt[lo:hi], minlength=8)[:4]
+    return out
+
+
 def build_ngram_host(index: FmIndex, n: int):
-    """(codes, cn): the n-gram BWT codes and the n-mer range starts."""
+    """(codes, cn): the n-gram BWT codes and the n-mer range starts.
+
+    All whole-index work is chunked and uint8/uint32 so an hg38-scale
+    build peaks ~6 bytes/position beyond the index itself.
+    """
     if index.alphabet == AlphabetType.AMINO:
         raise NotImplementedError("n-gram stepping is nucleotide-only")
     n_words, dirty, _, _, _ = _geometry(n)
-    bwt = index.bwt_letters.astype(np.int64)
+    bwt = index.bwt_letters  # uint8
     ps = index.prefix_sums.astype(np.int64)
+    length = index.bwt_length
 
     lf = _lf_array(index)
-    # letters[j] = T[SA[i] - 1 - j]: walk the LF chain n-1 times
-    letters = [bwt]
-    pos = np.arange(index.bwt_length, dtype=np.int64)
-    for _ in range(n - 1):
-        pos = lf[pos]
-        letters.append(bwt[pos])
-    # code = sum letters[j] * 4^j  (nearest preceding char least
+    # letters[j] = T[SA[i] - 1 - j] via j LF steps;
+    # code = sum letters[j] * 4^j (nearest preceding char least
     # significant), i.e. word value of T[SA[i]-n..SA[i]-1] base-4 with
-    # the LEFTMOST character most significant.
-    clean = np.ones(index.bwt_length, dtype=bool)
-    code = np.zeros(index.bwt_length, dtype=np.int64)
-    for j, lj in enumerate(letters):
-        clean &= lj < 4
-        code += lj * (4**j)
-    codes = np.where(clean, code, dirty).astype(np.uint8)
+    # the LEFTMOST character most significant. Max value 5+4*5+16*5=105
+    # fits uint8 for n <= 3.
+    codes = np.empty(length, dtype=np.uint8)
+    for lo in range(0, length, _HOST_CHUNK):
+        c0 = bwt[lo : lo + _HOST_CHUNK]
+        code = c0.copy()
+        clean = c0 < 4
+        idx = lf[lo : lo + _HOST_CHUNK]
+        for j in range(1, n):
+            lj = bwt[idx]
+            clean &= lj < 4
+            code += lj * np.uint8(4**j)
+            if j + 1 < n:
+                idx = lf[idx]
+        codes[lo : lo + _HOST_CHUNK] = np.where(clean, code, np.uint8(dirty))
+    del lf
 
     # Cn[w] = range start of the n-mer w: fold backward steps from the
-    # (n-1)-mer starts. C1 = prefix sums.
-    letter_positions = [np.flatnonzero(bwt == l) for l in range(4)]
+    # (n-1)-mer starts. C1 = prefix sums; occ thresholds counted in one
+    # chunked pass per depth.
     c_prev = ps[:4].astype(np.uint64)  # C1[y] = ps[y]
-    for _depth in range(1, n):
+    for depth in range(1, n):
+        occ = _letter_counts_before(bwt, c_prev)
         c_new = np.empty(4 * len(c_prev), dtype=np.uint64)
         for x in range(4):
-            occ = np.searchsorted(
-                letter_positions[x], c_prev.astype(np.int64) - 1, side="right"
-            )
             # new word = x * 4^depth + suffix-word (x most significant)
-            c_new[x * len(c_prev) : (x + 1) * len(c_prev)] = ps[x] + occ
+            c_new[x * len(c_prev) : (x + 1) * len(c_prev)] = ps[x] + occ[x]
         c_prev = c_new
     return codes, c_prev
 

@@ -156,3 +156,35 @@ def test_steploop_fused_matches_scan(rng, monkeypatch, n, fuse):
     ragged = [random_kmer(rng, int(rng.integers(2, 9)), AlphabetType.DNA)
               for _ in range(40)]
     np.testing.assert_array_equal(multi.count(ragged), single.count(ragged))
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_chunked_host_build_matches_unchunked(rng, n, monkeypatch):
+    # genome-scale builds stream in _HOST_CHUNK pieces; force many tiny
+    # chunks and require bit-identical codes/Cn
+    seq = random_sequence(rng, 3000, AlphabetType.DNA)
+    index = create_index(seq, _cfg())
+    want_codes, want_cn = ngram_ops.build_ngram_host(index, n)
+    monkeypatch.setattr(ngram_ops, "_HOST_CHUNK", 257)  # not a divisor
+    got_codes, got_cn = ngram_ops.build_ngram_host(index, n)
+    np.testing.assert_array_equal(got_codes, want_codes)
+    np.testing.assert_array_equal(got_cn, want_cn)
+
+
+def test_letter_counts_before_matches_bruteforce(rng):
+    bwt = rng.integers(0, 6, size=5000).astype(np.uint8)
+    bounds = np.array([0, 1, 256, 257, 4999, 5000, 2500, 5000])
+    out = ngram_ops._letter_counts_before(bwt, bounds)
+    for i, b in enumerate(bounds):
+        for x in range(4):
+            assert out[x, i] == int((bwt[:b] == x).sum()), (x, b)
+
+
+def test_letter_counts_before_chunked(rng, monkeypatch):
+    monkeypatch.setattr(ngram_ops, "_HOST_CHUNK", 64)
+    bwt = rng.integers(0, 6, size=1000).astype(np.uint8)
+    bounds = rng.integers(0, 1001, size=16)
+    out = ngram_ops._letter_counts_before(bwt, bounds)
+    for i, b in enumerate(bounds):
+        for x in range(4):
+            assert out[x, i] == int((bwt[:b] == x).sum()), (x, b)
