@@ -18,6 +18,17 @@ File layout, strictly ordered (AwFmFile.c:20-193):
     sequenceEndPosition} (AwFmFile.c:157-187)
 
 All integers little-endian (the reference fwrites x86 host structs).
+
+Byte-compatibility caveat: the core sections (header, blocks,
+prefixSums, seed table, sequence, packed SA) follow AwFmFile.c exactly.
+The FastaVector section's INTERNAL conventions (e.g. whether
+header.charData carries per-header terminators) are defined by the
+FastaVector submodule, which is not present in the reference snapshot;
+this writer stores raw header text with no terminators, matching how
+AwFmFile.c:360-440 and AwFmSearch.c:303-315 consume the buffers.
+Cross-library interop of THAT section is unverified until a golden
+fixture from the C library exists (tests/test_golden_parity.py covers
+the rest).
 """
 
 from __future__ import annotations

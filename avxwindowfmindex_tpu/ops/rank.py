@@ -127,15 +127,19 @@ def _count_rows(dev, rows, local, letter_indices):
 
 import os
 
-# Route the masked popcount through the fused Pallas kernel
-# (ops/rank_pallas.py) instead of the XLA elementwise formulation.
-# Bit-identical results; set before the first traced call.
-USE_PALLAS_RANK = os.environ.get("AWFM_PALLAS_RANK") == "1"
+
+def _use_pallas_rank() -> bool:
+    """Route the masked popcount through the fused Pallas kernel
+    (ops/rank_pallas.py) instead of the XLA elementwise formulation.
+    Bit-identical results. Read at call time so tests/users can toggle
+    AWFM_PALLAS_RANK after import (traced calls are cached per engine
+    program, so flip it before the first search on a given shape)."""
+    return os.environ.get("AWFM_PALLAS_RANK") == "1"
 
 
 def occurrence(dev, positions, letter_indices):
     """Batched occ(l, pos), inclusive of pos. letter_indices in [0, A]."""
-    if USE_PALLAS_RANK:
+    if _use_pallas_rank():
         from . import rank_pallas
 
         return rank_pallas.occurrence(dev, positions, letter_indices)

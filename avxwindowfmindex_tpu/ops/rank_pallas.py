@@ -16,8 +16,9 @@ DMA pipeline is issue-bound well below that. This kernel removes the
 elementwise intermediates XLA would otherwise materialize around the
 gather.
 
-Select with SearchEngine(..., use_pallas_rank=True) /
-AWFM_PALLAS_RANK=1; results are bit-identical to ops/rank.py.
+Select by setting the environment variable AWFM_PALLAS_RANK=1 (read at
+call time, ops/rank.py:occurrence); results are bit-identical to
+ops/rank.py.
 """
 
 from __future__ import annotations

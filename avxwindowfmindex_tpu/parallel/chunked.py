@@ -39,6 +39,11 @@ class ChunkedCorpusIndex:
         self.chunk_bases = chunk_bases
         self.overlap = overlap
         self.total_bases = total_bases
+        # raw text of each junction (the first `overlap` bases of chunks
+        # 1..C-1); enables the O(1)-per-kmer count() correction
+        self.junction_texts: List[bytes] = []
+        # lazily-built tiny sub-engines over each junction
+        self._junction_engines: Optional[List[SearchEngine]] = None
 
     @classmethod
     def build(
@@ -55,10 +60,15 @@ class ChunkedCorpusIndex:
         if chunk_bases < 1 or overlap < 0:
             raise ValueError("chunk_bases must be >=1 and overlap >= 0")
         engines = []
+        junctions = []
         for start in range(0, total, chunk_bases):
             chunk = sequence[start : start + chunk_bases + overlap]
             engines.append(engine_factory(create_index(chunk, config)))
-        return cls(engines, chunk_bases, overlap, total)
+            if start > 0:
+                junctions.append(sequence[start : start + overlap])
+        out = cls(engines, chunk_bases, overlap, total)
+        out.junction_texts = junctions
+        return out
 
     @property
     def num_chunks(self) -> int:
@@ -91,6 +101,58 @@ class ChunkedCorpusIndex:
             for parts in merged
         ]
 
+    def _junctions(self) -> List[SearchEngine]:
+        """Tiny sub-engines over each junction string, built on demand.
+
+        A junction is <= `overlap` bases, so these indexes are a few KB;
+        the seed table is shrunk accordingly (seed k capped at 6) and the
+        SA is irrelevant (count never backtraces).
+        """
+        if self._junction_engines is None:
+            base_cfg = self.engines[0].dev
+            from ..models.config import IndexConfiguration
+
+            cfg = IndexConfiguration(
+                suffix_array_compression_ratio=1,
+                kmer_length_in_seed_table=min(
+                    base_cfg.kmer_length_in_seed_table, 6
+                ),
+                alphabet_type=base_cfg.alphabet,
+            )
+            self._junction_engines = [
+                SearchEngine(create_index(text, cfg))
+                for text in self.junction_texts
+            ]
+        return self._junction_engines
+
     def count(self, kmers: Sequence[Union[str, bytes]]) -> np.ndarray:
-        """Occurrence counts per kmer (derived from deduplicated hits)."""
-        return np.array([len(h) for h in self.locate(kmers)], dtype=np.uint64)
+        """Occurrence counts per kmer — O(1) per kmer per chunk.
+
+        Sum of per-chunk range lengths, minus the double-counted matches.
+        A match is counted by both chunk i (in its overlap tail) and
+        chunk i+1 (at its head) exactly when it fits wholly within the
+        first `overlap` bases of chunk i+1 — chunk i's window ends there,
+        so any match extending past it exists only in chunk i+1. That
+        correction is therefore an exact count over a FIXED tiny string
+        (the junction), answered by a sub-index range length — no
+        locate/backtrace anywhere (the reference's count is likewise
+        range arithmetic only, AwFmParallelSearch.c:187-190).
+        """
+        self._check_query_lengths(kmers)
+        if (
+            self.num_chunks > 1
+            and self.overlap > 0
+            and len(self.junction_texts) != self.num_chunks - 1
+        ):
+            # constructed without junction texts (direct __init__):
+            # fall back to the locate-derived count
+            return np.array(
+                [len(h) for h in self.locate(kmers)], dtype=np.uint64
+            )
+        total = np.zeros(len(kmers), dtype=np.uint64)
+        for engine in self.engines:
+            total += engine.count(kmers)
+        if self.num_chunks > 1 and self.overlap > 0:
+            for jeng in self._junctions():
+                total -= jeng.count(kmers)
+        return total

@@ -826,8 +826,9 @@ def backtrace_return_previous_letter_index(index: FmIndex, bwt_position: int):
     """awFm*BacktraceReturnPreviousLetterIndex (AwFmSearch.c:429-483).
 
     Returns (letter_index, new_bwt_position): the BWT letter at the given
-    position and its LF mapping. A sentinel returns letter 0 and
-    position 0, matching the reference's early-out.
+    position and its LF mapping. A sentinel returns letter 0 and leaves
+    the position UNCHANGED, matching the reference's early-out (which
+    returns before writing *bwtPosition, AwFmSearch.c:443-445).
     """
     import jax.numpy as jnp
 
@@ -837,7 +838,7 @@ def backtrace_return_previous_letter_index(index: FmIndex, bwt_position: int):
     )
     lett_v = int(np.asarray(lett)[0])
     if lett_v == dev.sentinel:
-        return 0, 0
+        return 0, bwt_position
     return lett_v, int(np.asarray(lf)[0])
 
 

@@ -72,3 +72,33 @@ def test_single_chunk_passthrough(rng):
     assert chunked.num_chunks == 1
     kmers = [random_kmer(rng, 30, AlphabetType.DNA)]  # long ok: 1 chunk
     np.testing.assert_array_equal(chunked.count(kmers), mono.count(kmers))
+
+
+def test_high_frequency_kmer_count(rng):
+    # poly-A rich corpus: the counted kmers occur thousands of times and
+    # straddle every boundary — count() must stay exact (and O(1)/kmer,
+    # not locate-derived; VERDICT r1 weak #5)
+    seq = bytearray(random_sequence(rng, 4000, AlphabetType.DNA))
+    for i in range(0, 4000, 7):
+        seq[i] = ord("A")
+    seq = bytes(seq).replace(b"C", b"A")
+    mono = SearchEngine(create_index(seq, _cfg()))
+    chunked = ChunkedCorpusIndex.build(seq, _cfg(), chunk_bases=900, overlap=12)
+    kmers = [b"AA", b"AAA", b"AAAAA", b"AT", b"TAA", b"GA", b"AAAAAAAAAAAAA"[:13]]
+    np.testing.assert_array_equal(chunked.count(kmers), mono.count(kmers))
+    # and count agrees with the locate-derived value
+    np.testing.assert_array_equal(
+        chunked.count(kmers),
+        np.array([len(h) for h in chunked.locate(kmers)], dtype=np.uint64),
+    )
+
+
+def test_count_without_junction_texts_falls_back(rng):
+    # direct construction without junction texts must stay correct
+    seq = random_sequence(rng, 2000, AlphabetType.DNA)
+    built = ChunkedCorpusIndex.build(seq, _cfg(), chunk_bases=800, overlap=10)
+    bare = ChunkedCorpusIndex(
+        built.engines, built.chunk_bases, built.overlap, built.total_bases
+    )
+    kmers = [random_kmer(rng, 6, AlphabetType.DNA) for _ in range(20)]
+    np.testing.assert_array_equal(bare.count(kmers), built.count(kmers))

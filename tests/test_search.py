@@ -144,6 +144,11 @@ def test_backtrace_previous_letter(rng):
     for _ in range(5):
         lett, pos = backtrace_return_previous_letter_index(index, pos)
         assert 0 <= lett <= 4
+    # sentinel early-out: letter 0, position UNCHANGED (the reference
+    # returns before writing *bwtPosition, AwFmSearch.c:443-445)
+    sent_pos = int(np.flatnonzero(index.bwt_letters == index.sentinel_index)[0])
+    lett, pos = backtrace_return_previous_letter_index(index, sent_pos)
+    assert lett == 0 and pos == sent_pos
 
 
 def test_iterative_step_matches_full_search(rng):
