@@ -321,9 +321,13 @@ class FmIndex:
         if self.kmer_seed_table is None:
             if self._device_cache is None:
                 raise ValueError("index has no seed table (not yet built)")
-            self.kmer_seed_table = np.asarray(
-                self._device_cache.seed_table
-            ).astype(np.uint64)
+            st = np.asarray(self._device_cache.seed_table).astype(np.uint64)
+            if st.shape[1] == 4:  # wide layout: [s_lo, s_hi, e_lo, e_hi]
+                st = np.stack(
+                    [(st[:, 1] << 32) | st[:, 0], (st[:, 3] << 32) | st[:, 2]],
+                    axis=1,
+                )
+            self.kmer_seed_table = st
         return self.kmer_seed_table
 
     # -- host-side milestone/rank helpers (used by builders & oracles) ------
@@ -361,16 +365,31 @@ class FmIndex:
 
     # -- device view --------------------------------------------------------
 
-    def to_device(self, devices=None, refresh: bool = False) -> DeviceIndex:
-        """Upload the search-critical arrays to the default device(s)."""
+    def to_device(
+        self, devices=None, refresh: bool = False, wide: Optional[bool] = None
+    ) -> DeviceIndex:
+        """Upload the search-critical arrays to the default device(s).
+
+        ``wide`` selects the 64-bit-capacity device layout (hi/lo u32
+        pairs, u64 milestones — ops/rank64.py); by default it is chosen
+        automatically for bwtLength >= 2^32, restoring the reference's
+        u64 capacity (AwFmIndex.h:94-109). The 32-bit layout stays the
+        throughput path for everything smaller.
+        """
         import jax.numpy as jnp
 
+        if wide is None:
+            wide = self.bwt_length >= 2**32
         if self._device_cache is not None and not refresh:
-            return self._device_cache
+            is_wide = not isinstance(self._device_cache, DeviceIndex)
+            if is_wide == wide:
+                return self._device_cache
+        if wide:
+            return self._to_device_wide()
         if self.bwt_length >= 2**32:
-            raise NotImplementedError(
-                "device path uses uint32 positions; bwtLength >= 2**32 "
-                "requires the int64 escape hatch (not yet implemented)"
+            raise ValueError(
+                "bwtLength >= 2**32 requires the 64-bit device layout "
+                "(to_device(wide=True), chosen automatically)"
             )
         packed = pack_device_blocks(self.bwt_letters, self.milestones(), self.alphabet)
         if self.kmer_seed_table is not None:
@@ -400,6 +419,66 @@ class FmIndex:
             kmer_length_in_seed_table=int(self.config.kmer_length_in_seed_table),
             alphabet=self.alphabet,
         )
+        self._device_cache = dev
+        return dev
+
+    def _to_device_wide(self):
+        """Build the 64-bit-capacity device view (ops/rank64.py)."""
+        import jax.numpy as jnp
+
+        from ..ops import rank64 as r64
+
+        if self.num_blocks >= 2**31:
+            raise ValueError(
+                "device block index rides int32 gathers: bwtLength must "
+                "be < 2^39 positions (~550 G bases)"
+            )
+        ratio = int(self.config.suffix_array_compression_ratio)
+        if self.bwt_length // ratio >= 2**31:
+            raise ValueError(
+                "sampled-SA gather index must fit int32: need "
+                "bwtLength / saCompressionRatio < 2^31"
+            )
+        packed = r64.pack_device_blocks64(
+            self.bwt_letters, self.milestones(), self.alphabet
+        )
+        ps_hi, ps_lo = r64.split_u64_host(self.prefix_sums)
+        dev = r64.DeviceIndex64(
+            packed=jnp.asarray(packed),
+            prefix_hi=jnp.asarray(ps_hi),
+            prefix_lo=jnp.asarray(ps_lo),
+            seed_table=jnp.zeros((1, 4), dtype=jnp.uint32),
+            sampled_sa=None,
+            code_masks=jnp.asarray(device_code_masks(self.alphabet)),
+            vec_to_index=jnp.asarray(
+                alpha.vector_to_index_lut(self.alphabet).astype(np.int32)
+            ),
+            bwt_length=int(self.bwt_length),
+            ratio=ratio,
+            kmer_length_in_seed_table=int(
+                self.config.kmer_length_in_seed_table
+            ),
+            alphabet=self.alphabet,
+        )
+        if self.kmer_seed_table is not None:
+            st = self.kmer_seed_table.astype(np.uint64)
+            s_hi, s_lo = r64.split_u64_host(st[:, 0])
+            e_hi, e_lo = r64.split_u64_host(st[:, 1])
+            dev.seed_table = jnp.asarray(
+                np.stack([s_lo, s_hi, e_lo, e_hi], axis=1)
+            )
+        else:
+            from ..search64 import build_seed_table_device64
+
+            dev.seed_table = build_seed_table_device64(
+                dev,
+                self.cardinality,
+                int(self.config.kmer_length_in_seed_table),
+                self.prefix_sums,
+            )
+        if self.sampled_sa is not None:
+            sa_hi, sa_lo = r64.split_u64_host(self.sampled_sa)
+            dev.sampled_sa = jnp.asarray(np.stack([sa_lo, sa_hi], axis=1))
         self._device_cache = dev
         return dev
 

@@ -1,0 +1,334 @@
+"""64-bit occurrence/rank primitives: the capacity-parity device path.
+
+The reference is uint64 end-to-end (AwFmIndex.h:94-109: bwtLength,
+prefixSums, seed-table pointers, block baseOccurrences are all u64), so
+one index can exceed 2^32 positions. TPUs prefer 32-bit lanes, so this
+module represents every 64-bit quantity as a (hi, lo) pair of uint32
+arrays and propagates carries explicitly — the idiomatic TPU analogue of
+the C library's native u64 arithmetic.
+
+Row layout (pack_device_blocks64): identical strided bit-planes to the
+32-bit rows, but milestones widen to little-endian u64:
+
+    nucleotide: [3 planes x 32 B | 5 x u64 milestones | pad] = 256 B
+    amino:      [5 planes x 32 B | 21 x u64 milestones | pad] = 384 B
+
+Capacity: block indices ride int32 gathers, so the device cap is
+2^31 blocks = 2^39 positions (~550 G bases); sampled-SA gathers require
+bwtLength / ratio < 2^31. Both are checked at upload.
+
+The 32-bit path (ops/rank.py) remains the throughput path for indexes
+under 2^32 positions; to_device() picks automatically. Results are
+bit-identical between the two paths (tests/test_index64.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models import alphabet as alpha
+from ..models.config import AlphabetType
+from ..models.index import (
+    POSITIONS_PER_BLOCK,
+    num_blocks_from_bwt_length,
+)
+
+_BYTE_IOTA = np.arange(32, dtype=np.int32)
+
+_U1 = jnp.uint32(1)
+_U0 = jnp.uint32(0)
+
+
+# ---------------------------------------------------------------------------
+# (hi, lo) uint32-pair arithmetic
+# ---------------------------------------------------------------------------
+
+def add64(ah, al, bh, bl):
+    lo = al + bl
+    carry = (lo < al).astype(jnp.uint32)
+    return ah + bh + carry, lo
+
+
+def add64_small(ah, al, s):
+    """(ah, al) + s for s a uint32 (no hi component)."""
+    lo = al + s
+    carry = (lo < al).astype(jnp.uint32)
+    return ah + carry, lo
+
+
+def sub64_small(ah, al, s):
+    """(ah, al) - s for s a uint32."""
+    lo = al - s
+    borrow = (al < s).astype(jnp.uint32)
+    return ah - borrow, lo
+
+
+def sub64(ah, al, bh, bl):
+    lo = al - bl
+    borrow = (al < bl).astype(jnp.uint32)
+    return ah - bh - borrow, lo
+
+
+def le64(ah, al, bh, bl):
+    return (ah < bh) | ((ah == bh) & (al <= bl))
+
+
+def where64(cond, ah, al, bh, bl):
+    return jnp.where(cond, ah, bh), jnp.where(cond, al, bl)
+
+
+def mod_small64(hi, lo, r: int):
+    """(hi*2^32 + lo) % r for a static small r (the SA sampling ratio)."""
+    r_u = jnp.uint32(r)
+    two32_mod = jnp.uint32((1 << 32) % r)
+    return ((hi % r_u) * two32_mod + lo % r_u) % r_u
+
+
+def div_small64(hi, lo, r: int):
+    """(hi*2^32 + lo) // r as uint32, for quotients < 2^32.
+
+    Long division in 16-bit limbs; requires hi < r (guaranteed when the
+    quotient fits u32). Used for the sampled-SA index (pos // ratio).
+    """
+    r_u = jnp.uint32(r)
+    lh = lo >> 16
+    ll = lo & jnp.uint32(0xFFFF)
+    t1 = (hi % r_u) * jnp.uint32(1 << 16) + lh
+    q1 = t1 // r_u
+    t2 = (t1 % r_u) * jnp.uint32(1 << 16) + ll
+    q2 = t2 // r_u
+    return q1 * jnp.uint32(1 << 16) + q2
+
+
+def split_u64_host(values: np.ndarray):
+    v = values.astype(np.uint64)
+    return (v >> np.uint64(32)).astype(np.uint32), (
+        v & np.uint64(0xFFFFFFFF)
+    ).astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Device view
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DeviceIndex64:
+    """64-bit-capacity device view (hi/lo u32 pairs; u64 milestones)."""
+
+    packed: object  # (num_blocks, row_bytes) uint8, u64 milestones fused
+    prefix_hi: object  # (A+2,) uint32
+    prefix_lo: object  # (A+2,) uint32
+    seed_table: object  # (A**k, 4) uint32: [start_lo, start_hi, end_lo, end_hi]
+    sampled_sa: object  # (num_samples, 2) uint32 [lo, hi], or None
+    code_masks: object
+    vec_to_index: object
+    bwt_length: int  # static python int (may exceed 2^32)
+    ratio: int
+    kmer_length_in_seed_table: int
+    alphabet: AlphabetType
+
+    @property
+    def cardinality(self) -> int:
+        return alpha.cardinality(self.alphabet)
+
+    @property
+    def sentinel(self) -> int:
+        return alpha.sentinel_index(self.alphabet)
+
+    @property
+    def n_planes(self) -> int:
+        return alpha.num_bit_planes(self.alphabet)
+
+    @property
+    def milestone_offset(self) -> int:
+        return self.n_planes * 32
+
+    @property
+    def row_bytes(self) -> int:
+        return device_row_bytes64(self.alphabet)
+
+
+jax.tree_util.register_dataclass(
+    DeviceIndex64,
+    data_fields=[
+        "packed",
+        "prefix_hi",
+        "prefix_lo",
+        "seed_table",
+        "sampled_sa",
+        "code_masks",
+        "vec_to_index",
+    ],
+    meta_fields=["bwt_length", "ratio", "kmer_length_in_seed_table", "alphabet"],
+)
+
+
+def device_row_bytes64(alphabet: AlphabetType) -> int:
+    n_planes = alpha.num_bit_planes(alphabet)
+    need = n_planes * 32 + (alpha.cardinality(alphabet) + 1) * 8
+    return ((need + 127) // 128) * 128
+
+
+def pack_device_blocks64(
+    bwt_letters: np.ndarray, milestones: np.ndarray, alphabet: AlphabetType
+) -> np.ndarray:
+    """Fuse bit-planes + u64 milestones into (num_blocks, row_bytes) u8."""
+    n_planes = alpha.num_bit_planes(alphabet)
+    card = alpha.cardinality(alphabet)
+    row_bytes = device_row_bytes64(alphabet)
+    bwt_length = len(bwt_letters)
+    nb = num_blocks_from_bwt_length(bwt_length)
+
+    codes = np.zeros(nb * POSITIONS_PER_BLOCK, dtype=np.uint8)
+    codes[:bwt_length] = alpha.index_to_vector_lut(alphabet)[bwt_letters]
+
+    out = np.zeros((nb, row_bytes), dtype=np.uint8)
+    for b in range(n_planes):
+        bits = ((codes >> b) & 1).reshape(nb, POSITIONS_PER_BLOCK)
+        out[:, b * 32 : (b + 1) * 32] = np.packbits(
+            bits, axis=1, bitorder="little"
+        )
+    ms = milestones[:, : card + 1].astype("<u8")
+    off = n_planes * 32
+    out[:, off : off + (card + 1) * 8] = ms.view(np.uint8).reshape(
+        nb, (card + 1) * 8
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rank kernels (mirror ops/rank.py with u64 accumulators)
+# ---------------------------------------------------------------------------
+
+def _gather_rows64(dev: DeviceIndex64, pos_hi, pos_lo):
+    blk = ((pos_hi << jnp.uint32(24)) | (pos_lo >> jnp.uint32(8))).astype(
+        jnp.int32
+    )
+    local = (pos_lo & jnp.uint32(0xFF)).astype(jnp.int32)
+    return dev.packed[blk], local
+
+
+def _inclusive_mask(local):
+    byte_idx = (local >> 3)[:, None]
+    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
+    low = (jnp.uint8(2) << bit_idx) - jnp.uint8(1)
+    b = _BYTE_IOTA[None, :]
+    return jnp.where(
+        b < byte_idx, jnp.uint8(0xFF), jnp.where(b == byte_idx, low, jnp.uint8(0))
+    )
+
+
+def _match_bytes(dev, rows, letter_indices):
+    lut = np.asarray(alpha.index_to_vector_lut(dev.alphabet))
+    diff = None
+    for i in range(dev.n_planes):
+        m = jnp.zeros(letter_indices.shape, dtype=jnp.uint8)
+        for j in range(dev.cardinality + 1):
+            if (lut[j] >> i) & 1:
+                m = m | jnp.where(
+                    letter_indices == j, jnp.uint8(0xFF), jnp.uint8(0)
+                )
+        x = rows[:, i * 32 : (i + 1) * 32] ^ m[:, None]
+        diff = x if diff is None else (diff | x)
+    return ~diff
+
+
+def _milestone64(dev, rows, letter_indices):
+    card = dev.cardinality
+    off = dev.milestone_offset
+    raw = rows[:, off : off + (card + 1) * 8].reshape(-1, card + 1, 2, 4)
+    words = lax.bitcast_convert_type(raw, jnp.uint32)  # (B, card+1, 2)
+    out_lo = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
+    out_hi = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
+    for j in range(card + 1):
+        sel = letter_indices == j
+        out_lo = out_lo + jnp.where(sel, words[:, j, 0], _U0)
+        out_hi = out_hi + jnp.where(sel, words[:, j, 1], _U0)
+    return out_hi, out_lo
+
+
+def _prefix_select64(dev, letter_indices):
+    out_lo = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
+    out_hi = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
+    for j in range(dev.cardinality + 2):
+        sel = letter_indices == j
+        out_lo = out_lo + jnp.where(sel, dev.prefix_lo[j], _U0)
+        out_hi = out_hi + jnp.where(sel, dev.prefix_hi[j], _U0)
+    return out_hi, out_lo
+
+
+def _count_rows64(dev, rows, local, letter_indices):
+    match = _match_bytes(dev, rows, letter_indices)
+    masked = match & _inclusive_mask(local)
+    cnt = jnp.sum(lax.population_count(masked), axis=1, dtype=jnp.int32)
+    ms_hi, ms_lo = _milestone64(dev, rows, letter_indices)
+    return add64_small(ms_hi, ms_lo, cnt.astype(jnp.uint32))
+
+
+def occurrence64(dev, pos_hi, pos_lo, letter_indices):
+    """Batched occ(l, pos) -> (hi, lo), inclusive of pos."""
+    rows, local = _gather_rows64(dev, pos_hi, pos_lo)
+    return _count_rows64(dev, rows, local, letter_indices)
+
+
+def backward_step64(
+    dev, s_hi, s_lo, e_hi, e_lo, letter_indices, active=None, check_valid=True
+):
+    """One batched backward step with u64 pointers (AwFmSearch.c:42-159)."""
+    b = s_lo.shape[0]
+    c_hi, c_lo = _prefix_select64(dev, letter_indices)
+    ps_hi, ps_lo = sub64_small(s_hi, s_lo, _U1)
+    pos_hi = jnp.concatenate([ps_hi, e_hi])
+    pos_lo = jnp.concatenate([ps_lo, e_lo])
+    ll = jnp.concatenate([letter_indices, letter_indices])
+    occ_hi, occ_lo = occurrence64(dev, pos_hi, pos_lo, ll)
+    ns_hi, ns_lo = add64(c_hi, c_lo, occ_hi[:b], occ_lo[:b])
+    ne_hi, ne_lo = add64(c_hi, c_lo, occ_hi[b:], occ_lo[b:])
+    ne_hi, ne_lo = sub64_small(ne_hi, ne_lo, _U1)
+    keep = None
+    if check_valid:
+        keep = le64(s_hi, s_lo, e_hi, e_lo)
+    if active is not None:
+        keep = active if keep is None else (active & keep)
+    if keep is None:
+        return ns_hi, ns_lo, ne_hi, ne_lo
+    ns_hi, ns_lo = where64(keep, ns_hi, ns_lo, s_hi, s_lo)
+    ne_hi, ne_lo = where64(keep, ne_hi, ne_lo, e_hi, e_lo)
+    return ns_hi, ns_lo, ne_hi, ne_lo
+
+
+def letter_and_lf_at64(dev, pos_hi, pos_lo):
+    """BWT letter + LF mapping at each position (AwFmSearch.c:369-427)."""
+    rows, local = _gather_rows64(dev, pos_hi, pos_lo)
+    byte_idx = (local >> 3)[:, None]
+    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
+    onehot = jnp.where(
+        _BYTE_IOTA[None, :] == byte_idx, jnp.uint8(1) << bit_idx, jnp.uint8(0)
+    )
+    code = jnp.zeros(pos_lo.shape, dtype=jnp.int32)
+    for i in range(dev.n_planes):
+        hit = jnp.sum(
+            lax.population_count(rows[:, i * 32 : (i + 1) * 32] & onehot),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        code = code | (hit << i)
+    v2i = np.asarray(alpha.vector_to_index_lut(dev.alphabet))
+    lett = jnp.zeros(pos_lo.shape, dtype=jnp.int32)
+    for v in range(1 << dev.n_planes):
+        if v2i[v]:
+            lett = lett + jnp.where(code == v, jnp.int32(v2i[v]), jnp.int32(0))
+    is_sentinel = lett == dev.sentinel
+    lclip = jnp.minimum(lett, dev.cardinality)
+    occ_hi, occ_lo = _count_rows64(dev, rows, local, lclip)
+    c_hi, c_lo = _prefix_select64(dev, lclip)
+    lf_hi, lf_lo = add64(c_hi, c_lo, occ_hi, occ_lo)
+    lf_hi, lf_lo = sub64_small(lf_hi, lf_lo, _U1)
+    lf_hi = jnp.where(is_sentinel, _U0, lf_hi)
+    lf_lo = jnp.where(is_sentinel, _U0, lf_lo)
+    return lett, lf_hi, lf_lo

@@ -373,6 +373,8 @@ class SearchEngine:
         else:
             self.host_index = None
             self.dev = index
+        # 64-bit-capacity device view (ops/rank64.DeviceIndex64)?
+        self.wide = not isinstance(self.dev, DeviceIndex)
         self._ascii_lut = (
             alpha.AA_ASCII_TO_INDEX
             if self.dev.alphabet == AlphabetType.AMINO
@@ -469,6 +471,11 @@ class SearchEngine:
                     sub_len, (0, pad),
                     constant_values=max(int(sub_len.max()), max(1, k)),
                 )
+            if self.wide:
+                from . import search64
+
+                r = search64.ranges64(dev, sub_mat, sub_len, seeded)
+                return r[:, 0], r[:, 1]
             if _use_step_loop():
                 s, e = _ranges_steploop(dev, sub_mat, sub_len, seeded)
             elif seeded:
@@ -539,6 +546,10 @@ class SearchEngine:
         n = len(bwt_positions)
         if n == 0:
             return np.empty(0, dtype=np.uint64)
+        if self.wide:
+            from . import search64
+
+            return search64.resolve_positions64(self, bwt_positions)
         out = np.empty(n, dtype=np.uint64)
         chunk = _BACKTRACE_CHUNK
         sa_on_disk = dev.sampled_sa is None
@@ -719,6 +730,11 @@ class NgramSearchEngine(SearchEngine):
             raise NotImplementedError("n-gram stepping is nucleotide-only")
         if not isinstance(index, FmIndex):
             raise TypeError("NgramSearchEngine requires a host FmIndex")
+        if self.wide:
+            raise NotImplementedError(
+                "n-gram stepping is a 32-bit-path optimization; indexes "
+                ">= 2^32 positions use the single-step 64-bit engine"
+            )
         self.ng = ngram_ops.build_ngram_device(index, n)
 
     def find_ranges(self, kmers: Sequence[Union[str, bytes]]) -> np.ndarray:

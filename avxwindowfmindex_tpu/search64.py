@@ -1,0 +1,345 @@
+"""64-bit-capacity batched search: count/locate beyond 2^32 positions.
+
+Mirrors the 32-bit engine paths in search.py over the (hi, lo) u32-pair
+arithmetic of ops/rank64.py, restoring the reference's full u64 capacity
+(AwFmIndex.h:94-109; SA math AwFmSuffixArray.c:12-18) on device. The
+structure is deliberately parallel to search.py: a lax.scan formulation
+(CPU backends) and a host-driven step loop (remote TPU backends), plus
+the compacting backtrace driver.
+
+SearchEngine dispatches here automatically when its device view is a
+DeviceIndex64 (FmIndex.to_device picks that for bwtLength >= 2^32, or
+when forced with wide=True). Results are bit-identical to the 32-bit
+path wherever both apply (tests/test_index64.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import rank64 as r64
+from .ops.rank64 import DeviceIndex64
+
+_U0 = jnp.uint32(0)
+_U1 = jnp.uint32(1)
+
+
+def _round_up_pow2(n: int, floor: int = 16) -> int:
+    n = max(n, floor)
+    return 1 << (n - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Seeding / extension
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _seed_lookup64(dev, last_k_letters):
+    card = dev.cardinality
+    seed_k = dev.kmer_length_in_seed_table
+    powers = np.array(
+        [card ** (seed_k - 1 - j) for j in range(seed_k)], dtype=np.uint32
+    )
+    table_idx = jnp.sum(
+        last_k_letters.astype(jnp.uint32) * powers[None, :], axis=1
+    ).astype(jnp.int32)
+    seeded = dev.seed_table[table_idx]  # (B, 4) [s_lo, s_hi, e_lo, e_hi]
+    return seeded[:, 1], seeded[:, 0], seeded[:, 3], seeded[:, 2]
+
+
+@jax.jit
+def _initial_range64(dev, last_letters):
+    lett = last_letters.astype(jnp.int32)
+    s_hi = dev.prefix_hi[lett]
+    s_lo = dev.prefix_lo[lett]
+    e_hi, e_lo = r64.sub64_small(
+        dev.prefix_hi[lett + 1], dev.prefix_lo[lett + 1], _U1
+    )
+    return s_hi, s_lo, e_hi, e_lo
+
+
+@jax.jit
+def _step_masked64(dev, s_hi, s_lo, e_hi, e_lo, letters, active):
+    return r64.backward_step64(
+        dev, s_hi, s_lo, e_hi, e_lo, letters.astype(jnp.int32), active
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _steps_fused64(dev, s_hi, s_lo, e_hi, e_lo, *letter_cols, seg):
+    for s in range(seg):
+        s_hi, s_lo, e_hi, e_lo = r64.backward_step64(
+            dev, s_hi, s_lo, e_hi, e_lo, letter_cols[s].astype(jnp.int32)
+        )
+    return s_hi, s_lo, e_hi, e_lo
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "seeded"))
+def _ranges_scan64(dev, kmers, lengths, *, n_steps, seeded):
+    """Single-program scan formulation (CPU backends)."""
+    seed_k = dev.kmer_length_in_seed_table
+    if seeded:
+        card = dev.cardinality
+        idxs = (
+            lengths[:, None]
+            - seed_k
+            + jnp.arange(seed_k, dtype=jnp.int32)[None, :]
+        )
+        last_k = jnp.take_along_axis(kmers, idxs, axis=1)
+        s_hi, s_lo, e_hi, e_lo = _seed_lookup64(dev, last_k)
+        first = lengths - seed_k - 1
+    else:
+        last = jnp.take_along_axis(kmers, (lengths - 1)[:, None], axis=1)[:, 0]
+        s_hi, s_lo, e_hi, e_lo = _initial_range64(dev, last)
+        first = lengths - 2
+
+    def step(carry, t):
+        sh, sl, eh, el = carry
+        pos_in_kmer = first - t
+        active = pos_in_kmer >= 0
+        lett = jnp.take_along_axis(
+            kmers, jnp.maximum(pos_in_kmer, 0)[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        sh, sl, eh, el = r64.backward_step64(dev, sh, sl, eh, el, lett, active)
+        return (sh, sl, eh, el), None
+
+    if n_steps > 0:
+        (s_hi, s_lo, e_hi, e_lo), _ = jax.lax.scan(
+            step,
+            (s_hi, s_lo, e_hi, e_lo),
+            jnp.arange(n_steps, dtype=jnp.int32),
+        )
+    return s_hi, s_lo, e_hi, e_lo
+
+
+def _use_step_loop() -> bool:
+    return jax.default_backend() != "cpu"
+
+
+def _fuse_steps() -> int:
+    import os
+
+    return max(1, int(os.environ.get("AWFM_FUSE_STEPS", "4")))
+
+
+def ranges64(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
+             seeded: bool) -> np.ndarray:
+    """Final BWT ranges for an encoded batch -> (B, 2) uint64 host array."""
+    b, l = mat.shape
+    if not _use_step_loop():
+        k = dev.kmer_length_in_seed_table
+        n_steps = max(0, l - k) if seeded else l - 1
+        s_hi, s_lo, e_hi, e_lo = _ranges_scan64(
+            dev, jnp.asarray(mat), jnp.asarray(lengths),
+            n_steps=n_steps, seeded=seeded,
+        )
+    else:
+        if seeded:
+            k = dev.kmer_length_in_seed_table
+            idxs = np.clip(
+                lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1
+            )
+            s_hi, s_lo, e_hi, e_lo = _seed_lookup64(
+                dev, jnp.asarray(np.take_along_axis(mat, idxs, axis=1))
+            )
+            n_steps = max(0, l - k)
+            pos = lengths[:, None] - k - 1 - np.arange(n_steps)[None, :]
+        else:
+            s_hi, s_lo, e_hi, e_lo = _initial_range64(
+                dev,
+                jnp.asarray(
+                    np.take_along_axis(mat, (lengths - 1)[:, None], axis=1)[:, 0]
+                ),
+            )
+            n_steps = l - 1
+            pos = lengths[:, None] - 2 - np.arange(n_steps)[None, :]
+        letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
+        active = pos >= 0
+        if bool(active.all()):
+            fuse = _fuse_steps()
+            for lo in range(0, n_steps, fuse):
+                seg = list(range(lo, min(lo + fuse, n_steps)))
+                s_hi, s_lo, e_hi, e_lo = _steps_fused64(
+                    dev, s_hi, s_lo, e_hi, e_lo,
+                    *[jnp.asarray(letters[:, t]) for t in seg], seg=len(seg),
+                )
+        else:
+            for t in range(n_steps):
+                s_hi, s_lo, e_hi, e_lo = _step_masked64(
+                    dev, s_hi, s_lo, e_hi, e_lo,
+                    jnp.asarray(letters[:, t]), jnp.asarray(active[:, t]),
+                )
+    start = (np.asarray(s_hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        s_lo
+    ).astype(np.uint64)
+    end = (np.asarray(e_hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        e_lo
+    ).astype(np.uint64)
+    return np.stack([start, end], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Backtrace / locate
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _backtrace_steps_fused64(dev, p_hi, p_lo, off, *, seg):
+    for _ in range(seg):
+        done = r64.mod_small64(p_hi, p_lo, dev.ratio) == _U0
+        _, lf_hi, lf_lo = r64.letter_and_lf_at64(dev, p_hi, p_lo)
+        p_hi = jnp.where(done, p_hi, lf_hi)
+        p_lo = jnp.where(done, p_lo, lf_lo)
+        off = jnp.where(done, off, off + _U1)
+    return p_hi, p_lo, off
+
+
+@jax.jit
+def _undone_count64(dev, p_hi, p_lo):
+    return jnp.sum(
+        r64.mod_small64(p_hi, p_lo, dev.ratio) != _U0, dtype=jnp.int32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _gather_undone64(dev, p_hi, p_lo, off, *, m):
+    idx = jnp.nonzero(
+        r64.mod_small64(p_hi, p_lo, dev.ratio) != _U0, size=m, fill_value=0
+    )[0].astype(jnp.int32)
+    return idx, p_hi[idx], p_lo[idx], off[idx]
+
+
+@jax.jit
+def _scatter_back64(p_hi, p_lo, off, idx, s_hi, s_lo, s_off):
+    return (
+        p_hi.at[idx].set(s_hi),
+        p_lo.at[idx].set(s_lo),
+        off.at[idx].set(s_off),
+    )
+
+
+def backtrace_all64(dev, p_hi, p_lo):
+    """Backtrace a device batch to sampled positions -> (p_hi, p_lo, off).
+
+    Same compaction driver as search.backtrace_all: fixed-trip chunks,
+    then geometrically smaller compacted straggler batches.
+    """
+    n_steps = min(64, max(4, 2 * dev.ratio))
+    off = jnp.zeros_like(p_lo)
+    p_hi, p_lo, off = _backtrace_steps_fused64(dev, p_hi, p_lo, off, seg=n_steps)
+    while True:
+        cnt = int(_undone_count64(dev, p_hi, p_lo))
+        if cnt == 0:
+            return p_hi, p_lo, off
+        m = _round_up_pow2(cnt, floor=256)
+        if m >= p_lo.shape[0]:
+            p_hi, p_lo, off = _backtrace_steps_fused64(
+                dev, p_hi, p_lo, off, seg=n_steps
+            )
+            continue
+        idx, s_hi, s_lo, s_off = _gather_undone64(dev, p_hi, p_lo, off, m=m)
+        s_hi, s_lo, s_off = _backtrace_steps_fused64(
+            dev, s_hi, s_lo, s_off, seg=n_steps
+        )
+        p_hi, p_lo, off = _scatter_back64(p_hi, p_lo, off, idx, s_hi, s_lo, s_off)
+
+
+@jax.jit
+def _resolve_samples64(dev, p_hi, p_lo, off):
+    """hit = (SA[p / ratio] + offset) % bwtLength (AwFmSuffixArray.c:189-190).
+
+    The mod is a conditional subtract: sa < bwtLength and off < bwtLength
+    guarantee sa + off < 2 * bwtLength.
+    """
+    sample_idx = r64.div_small64(p_hi, p_lo, dev.ratio).astype(jnp.int32)
+    sa = dev.sampled_sa[sample_idx]  # (B, 2) [lo, hi]
+    h_hi, h_lo = r64.add64_small(sa[:, 1], sa[:, 0], off)
+    n_hi = jnp.uint32(dev.bwt_length >> 32)
+    n_lo = jnp.uint32(dev.bwt_length & 0xFFFFFFFF)
+    over = ~r64.le64(h_hi, h_lo, n_hi, n_lo) | (
+        (h_hi == n_hi) & (h_lo == n_lo)
+    )
+    w_hi, w_lo = r64.sub64(h_hi, h_lo, n_hi, n_lo)
+    return r64.where64(over, w_hi, w_lo, h_hi, h_lo)
+
+
+def resolve_positions64(engine, bwt_positions: np.ndarray) -> np.ndarray:
+    """Backtrace+resolve a flat uint64 array of BWT positions to hits."""
+    dev = engine.dev
+    n = len(bwt_positions)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    chunk = 1 << 16
+    sa_on_disk = dev.sampled_sa is None
+    if sa_on_disk:
+        if engine.host_index is None or engine.host_index.file_path is None:
+            raise ValueError(
+                "suffix array not in memory and no backing file to read from"
+            )
+    for lo in range(0, n, chunk):
+        part = bwt_positions[lo : lo + chunk].astype(np.uint64)
+        pad_n = _round_up_pow2(len(part))
+        hi_np = np.zeros(pad_n, dtype=np.uint32)
+        lo_np = np.zeros(pad_n, dtype=np.uint32)
+        hi_np[: len(part)], lo_np[: len(part)] = (
+            (part >> np.uint64(32)).astype(np.uint32),
+            (part & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        )
+        p_hi, p_lo, off = backtrace_all64(
+            dev, jnp.asarray(hi_np), jnp.asarray(lo_np)
+        )
+        if sa_on_disk:
+            samp = (
+                np.asarray(p_hi[: len(part)]).astype(np.uint64) << np.uint64(32)
+            ) | np.asarray(p_lo[: len(part)]).astype(np.uint64)
+            hits = engine._resolve_from_file(
+                samp, np.asarray(off[: len(part)])
+            )
+            out[lo : lo + len(part)] = hits
+        else:
+            h_hi, h_lo = _resolve_samples64(dev, p_hi, p_lo, off)
+            out[lo : lo + len(part)] = (
+                np.asarray(h_hi[: len(part)]).astype(np.uint64) << np.uint64(32)
+            ) | np.asarray(h_lo[: len(part)]).astype(np.uint64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Seed-table construction (64-bit BFS; AwFmCreate.c:407-450 equivalent)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _extend_all_letters64(dev, s_hi, s_lo, e_hi, e_lo):
+    card = dev.cardinality
+    n = s_lo.shape[0]
+    letts = jnp.repeat(jnp.arange(card, dtype=jnp.int32), n)
+    return r64.backward_step64(
+        dev,
+        jnp.tile(s_hi, card),
+        jnp.tile(s_lo, card),
+        jnp.tile(e_hi, card),
+        jnp.tile(e_lo, card),
+        letts,
+        active=None,
+        check_valid=False,
+    )
+
+
+def build_seed_table_device64(dev, cardinality: int, k: int, prefix_sums_host):
+    """(|A|^k, 4) uint32 seed table [s_lo, s_hi, e_lo, e_hi], on device."""
+    ps = np.asarray(prefix_sums_host, dtype=np.uint64)
+    s = ps[:cardinality]
+    e = ps[1 : cardinality + 1] - 1
+    s_hi, s_lo = r64.split_u64_host(s)
+    e_hi, e_lo = r64.split_u64_host(e)
+    s_hi, s_lo = jnp.asarray(s_hi), jnp.asarray(s_lo)
+    e_hi, e_lo = jnp.asarray(e_hi), jnp.asarray(e_lo)
+    for _depth in range(1, k):
+        s_hi, s_lo, e_hi, e_lo = _extend_all_letters64(
+            dev, s_hi, s_lo, e_hi, e_lo
+        )
+    return jnp.stack([s_lo, s_hi, e_lo, e_hi], axis=1)
