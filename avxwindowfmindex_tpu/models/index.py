@@ -154,9 +154,23 @@ class DeviceIndex:
 
     Registered as a jax pytree: array fields are leaves, geometry fields
     are static metadata (hashed into jit caches).
+
+    ``packed_pair`` is the PAIR-ROW table: row b fuses the bit-planes of
+    blocks b AND b+1 (512 consecutive positions) plus block b's
+    milestones. After seeding, search ranges are nearly always narrower
+    than one block, so start-1 and end land inside one pair row and a
+    backward step needs ONE row gather instead of two — measured on TPU
+    v5e, a 256 B-row gather runs at 50.6M rows/s vs 37.6M effective for
+    two 128 B gathers (1.35x; 1.42x for the 512 B amino/digram rows).
+    The reference fetches two blocks per step (AwFmSearch.c:57-58).
+
+    ``ratio`` is the DEVICE sampling ratio of ``sampled_sa``; it equals
+    the config's saCompressionRatio unless a denser device-side SA was
+    requested (the in-memory-SA speed knob, README.md:207-213 analogue).
     """
 
     packed: object  # (num_blocks, row_bytes) uint8 fused blocks
+    packed_pair: object  # (num_blocks, 2*row_bytes) uint8 pair rows, or None
     prefix_sums: object  # (A+2,) uint32
     seed_table: object  # (A**k, 2) uint32
     sampled_sa: object  # (num_samples,) uint32, or None (SA on disk)
@@ -204,6 +218,7 @@ def _register_device_index_pytree():
         DeviceIndex,
         data_fields=[
             "packed",
+            "packed_pair",
             "prefix_sums",
             "seed_table",
             "sampled_sa",
@@ -240,6 +255,41 @@ def pack_device_blocks(
     out[:, n_planes * 32 : n_planes * 32 + (card + 1) * 4] = ms.view(
         np.uint8
     ).reshape(nb, (card + 1) * 4)
+    return out
+
+
+def device_pair_row_bytes(alphabet: AlphabetType) -> int:
+    """Bytes per pair row: planes*64 + milestones*4, padded to 128."""
+    n_planes = alpha.num_bit_planes(alphabet)
+    need = n_planes * 64 + (alpha.cardinality(alphabet) + 1) * 4
+    return ((need + 127) // 128) * 128
+
+
+def pack_pair_rows_from_blocks(
+    packed: np.ndarray, alphabet: AlphabetType
+) -> np.ndarray:
+    """Derive the pair-row table from the per-block fused rows.
+
+    Pair row b = plane bytes of blocks b,b+1 interleaved per plane
+    (plane i covers pair-local positions 0..511 at bytes
+    [i*64, (i+1)*64)) + block b's milestones. The final row's missing
+    partner is zero planes — code 0 is not a queryable letter's code in
+    either alphabet, so it can never produce a false match.
+    """
+    n_planes = alpha.num_bit_planes(alphabet)
+    card = alpha.cardinality(alphabet)
+    nb = packed.shape[0]
+    row_bytes = device_pair_row_bytes(alphabet)
+    out = np.zeros((nb, row_bytes), dtype=np.uint8)
+    for i in range(n_planes):
+        plane = packed[:, i * 32 : (i + 1) * 32]
+        out[:, i * 64 : i * 64 + 32] = plane
+        out[:-1, i * 64 + 32 : (i + 1) * 64] = plane[1:]
+    ms_off = n_planes * 32
+    ms_len = (card + 1) * 4
+    out[:, n_planes * 64 : n_planes * 64 + ms_len] = packed[
+        :, ms_off : ms_off + ms_len
+    ]
     return out
 
 
@@ -391,7 +441,14 @@ class FmIndex:
                 "bwtLength >= 2**32 requires the 64-bit device layout "
                 "(to_device(wide=True), chosen automatically)"
             )
+        import os
+
         packed = pack_device_blocks(self.bwt_letters, self.milestones(), self.alphabet)
+        # pair rows: the one-gather backward step (default on; 2x the
+        # packed table's bytes — AWFM_PAIR_ROWS=0 trades the speed back)
+        pair = None
+        if os.environ.get("AWFM_PAIR_ROWS", "1") != "0":
+            pair = jnp.asarray(pack_pair_rows_from_blocks(packed, self.alphabet))
         if self.kmer_seed_table is not None:
             seed_dev = jnp.asarray(self.kmer_seed_table.astype(np.uint32))
         elif self._device_cache is not None:
@@ -401,6 +458,7 @@ class FmIndex:
             seed_dev = jnp.zeros((1, 2), dtype=jnp.uint32)
         dev = DeviceIndex(
             packed=jnp.asarray(packed),
+            packed_pair=pair,
             prefix_sums=jnp.asarray(self.prefix_sums.astype(np.uint32)),
             seed_table=seed_dev,
             # None = suffix array left on disk; locate resolves via file

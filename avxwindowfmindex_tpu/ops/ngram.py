@@ -49,11 +49,28 @@ def _geometry(n: int):
     return n_words, dirty, n_planes, ms_offset, row_bytes
 
 
+def _geometry_pair(n: int):
+    """Pair-row layout: plane i covers 512 positions (blocks b, b+1) at
+    bytes [i*64, (i+1)*64); block b's milestones follow. n=2: 512 B."""
+    n_words, dirty, n_planes, _, _ = _geometry(n)
+    ms_offset = n_planes * 64
+    row_bytes = ms_offset + n_words * 4
+    row_bytes = ((row_bytes + 127) // 128) * 128
+    return n_words, dirty, n_planes, ms_offset, row_bytes
+
+
 @dataclasses.dataclass
 class NgramIndex:
-    """Device arrays for the n-step path (registered pytree)."""
+    """Device arrays for the n-step path (registered pytree).
 
-    packed: object  # (num_blocks, row_bytes) uint8
+    ``packed`` holds PAIR rows (blocks b and b+1 fused): the backward
+    step is one row gather when the range fits the 512-position window
+    (the overwhelmingly common post-seed case), and single-position
+    ranks read the first-block half of the same rows — so only one
+    table is resident.
+    """
+
+    packed: object  # (num_blocks, pair_row_bytes) uint8
     cn: object  # (4**n,) uint32: range start of each n-mer
     n: int  # static: letters per step
 
@@ -202,10 +219,37 @@ def pack_ngram_blocks(codes: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def pair_rows_from_ngram_blocks(packed: np.ndarray, n: int) -> np.ndarray:
+    """Per-block fused rows -> pair rows (blocks b,b+1 per row).
+
+    The final row's missing partner keeps zero plane bytes: word code 0
+    (AA/AAA) would match there, but those pair-local positions >= 256 of
+    the last block lie beyond every valid query position, and the
+    inclusive mask zeroes them for all in-range ranks.
+    """
+    n_words, dirty, n_planes, ms_offset, row_bytes = _geometry(n)
+    _, _, _, pair_ms_offset, pair_row_bytes = _geometry_pair(n)
+    nb = packed.shape[0]
+    out = np.zeros((nb, pair_row_bytes), dtype=np.uint8)
+    for i in range(n_planes):
+        plane = packed[:, i * 32 : (i + 1) * 32]
+        out[:, i * 64 : i * 64 + 32] = plane
+        out[:-1, i * 64 + 32 : (i + 1) * 64] = plane[1:]
+    ms_len = n_words * 4
+    out[:, pair_ms_offset : pair_ms_offset + ms_len] = packed[
+        :, ms_offset : ms_offset + ms_len
+    ]
+    return out
+
+
 def build_ngram_device(index: FmIndex, n: int) -> NgramIndex:
     codes, cn = build_ngram_host(index, n)
+    blocks = pack_ngram_blocks(codes, n)
+    del codes
+    pair = pair_rows_from_ngram_blocks(blocks, n)
+    del blocks
     return NgramIndex(
-        packed=jnp.asarray(pack_ngram_blocks(codes, n)),
+        packed=jnp.asarray(pair),
         cn=jnp.asarray(cn.astype(np.uint32)),
         n=n,
     )
@@ -226,32 +270,36 @@ def _word_value(letter_list):
     return v
 
 
-def ngram_occurrence(ng: NgramIndex, positions, letter_list):
-    """Batched occn(w, pos), inclusive. letter_list: n arrays in [0,4)."""
-    n = ng.n
-    n_words, dirty, n_planes, ms_offset, row_bytes = _geometry(n)
-    blk = (positions // POSITIONS_PER_BLOCK).astype(jnp.int32)
-    local = (positions % POSITIONS_PER_BLOCK).astype(jnp.int32)
-    rows = ng.packed[blk]  # the single fused-row gather
+_PAIR_IOTA = np.arange(64, dtype=np.int32)
 
-    v = _word_value(letter_list)
+
+def _pair_match(ng: NgramIndex, rows, v):
+    """(B, 64) uint8 match bits for word value v over a pair row."""
+    _, _, n_planes, _, _ = _geometry_pair(ng.n)
     full = jnp.uint8(0xFF)
     diff = None
     for i in range(n_planes):
         m = ((v >> i) & 1).astype(jnp.uint8) * full
-        x = rows[:, i * 32 : (i + 1) * 32] ^ m[:, None]
+        x = rows[:, i * 64 : (i + 1) * 64] ^ m[:, None]
         diff = x if diff is None else (diff | x)
-    match = ~diff
+    return ~diff
 
+
+def _pair_mask(local):
+    """(B, 64) uint8 inclusive mask, local in [0, 512)."""
     byte_idx = (local >> 3)[:, None]
     bit_idx = (local & 7)[:, None].astype(jnp.uint8)
     low = (jnp.uint8(2) << bit_idx) - jnp.uint8(1)
-    b = _BYTE_IOTA[None, :]
-    mask = jnp.where(
-        b < byte_idx, full, jnp.where(b == byte_idx, low, jnp.uint8(0))
+    b = _PAIR_IOTA[None, :]
+    return jnp.where(
+        b < byte_idx,
+        jnp.uint8(0xFF),
+        jnp.where(b == byte_idx, low, jnp.uint8(0)),
     )
-    cnt = jnp.sum(lax.population_count(match & mask), axis=1, dtype=jnp.int32)
 
+
+def _pair_milestone(ng: NgramIndex, rows, v):
+    n_words, _, _, ms_offset, _ = _geometry_pair(ng.n)
     ms_all = lax.bitcast_convert_type(
         rows[:, ms_offset : ms_offset + n_words * 4].reshape(-1, n_words, 4),
         jnp.uint32,
@@ -259,7 +307,30 @@ def ngram_occurrence(ng: NgramIndex, positions, letter_list):
     ms = jnp.zeros(v.shape, dtype=jnp.uint32)
     for j in range(n_words):
         ms = ms + jnp.where(v == j, ms_all[:, j], jnp.uint32(0))
-    return ms + cnt.astype(jnp.uint32)
+    return ms
+
+
+def _cn_select(ng: NgramIndex, v):
+    cn = jnp.zeros(v.shape, dtype=jnp.uint32)
+    for j in range(4**ng.n):
+        cn = cn + jnp.where(v == j, ng.cn[j], jnp.uint32(0))
+    return cn
+
+
+def ngram_occurrence(ng: NgramIndex, positions, letter_list):
+    """Batched occn(w, pos), inclusive. letter_list: n arrays in [0,4).
+
+    Single-position rank via the first-block half of a pair row.
+    """
+    blk = (positions // POSITIONS_PER_BLOCK).astype(jnp.int32)
+    local = (positions % POSITIONS_PER_BLOCK).astype(jnp.int32)
+    rows = ng.packed[blk]
+    v = _word_value(letter_list)
+    match = _pair_match(ng, rows, v)
+    cnt = jnp.sum(
+        lax.population_count(match & _pair_mask(local)), axis=1, dtype=jnp.int32
+    )
+    return _pair_milestone(ng, rows, v) + cnt.astype(jnp.uint32)
 
 
 def ngram_backward_step(ng: NgramIndex, start, end, letter_list):
@@ -267,12 +338,12 @@ def ngram_backward_step(ng: NgramIndex, start, end, letter_list):
 
     newStart = Cn[w] + occn(w, start-1); newEnd = Cn[w] + occn(w, end) - 1.
     Rows with an invalid range keep it (the reference's stop rule).
+    Two-gather formulation — exact for any range width; the fixup path
+    behind ngram_backward_step_pair.
     """
     b = start.shape[0]
     v = _word_value(letter_list)
-    cn = jnp.zeros(v.shape, dtype=jnp.uint32)
-    for j in range(4**ng.n):
-        cn = cn + jnp.where(v == j, ng.cn[j], jnp.uint32(0))
+    cn = _cn_select(ng, v)
     pos = jnp.concatenate([start - jnp.uint32(1), end])
     doubled = [jnp.concatenate([l, l]) for l in letter_list]
     occ = ngram_occurrence(ng, pos, doubled)
@@ -280,3 +351,43 @@ def ngram_backward_step(ng: NgramIndex, start, end, letter_list):
     new_end = cn + occ[b:] - jnp.uint32(1)
     keep = start <= end
     return jnp.where(keep, new_start, start), jnp.where(keep, new_end, end)
+
+
+def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
+    """One-gather n-step; flags ranges wider than the 512-position window.
+
+    Returns (new_start, new_end, bad) — same contract as
+    rank.backward_step_pair: flagged rows must be re-run through the
+    two-gather step by the caller.
+    """
+    v = _word_value(letter_list)
+    cn = _cn_select(ng, v)
+    pos_s = start - jnp.uint32(1)
+    base = (pos_s >> jnp.uint32(8)).astype(jnp.int32)
+    local_s = (pos_s & jnp.uint32(0xFF)).astype(jnp.int32)
+    local_e = (end - (pos_s & ~jnp.uint32(0xFF))).astype(jnp.int32)
+    overflow = local_e >= 512
+    local_e = jnp.minimum(local_e, 511)
+
+    rows = ng.packed[base]
+    match = _pair_match(ng, rows, v)
+    occ_s = jnp.sum(
+        lax.population_count(match & _pair_mask(local_s)),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    occ_e = jnp.sum(
+        lax.population_count(match & _pair_mask(local_e)),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    ms = _pair_milestone(ng, rows, v)
+    new_start = cn + ms + occ_s.astype(jnp.uint32)
+    new_end = cn + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)
+    keep = start <= end
+    bad = bad | (overflow & keep)
+    return (
+        jnp.where(keep, new_start, start),
+        jnp.where(keep, new_end, end),
+        bad,
+    )

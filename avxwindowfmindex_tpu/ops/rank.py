@@ -177,6 +177,118 @@ def backward_step(dev, start, end, letter_indices, active=None, check_valid=True
     return jnp.where(keep, new_start, start), jnp.where(keep, new_end, end)
 
 
+# ---------------------------------------------------------------------------
+# Pair-row (one-gather) backward step
+# ---------------------------------------------------------------------------
+#
+# Pair row b fuses blocks b and b+1 (512 positions; models/index.py
+# pack_pair_rows_from_blocks). After seeding, ranges are nearly always
+# narrower than a block, so start-1 and end share one pair row and the
+# step costs ONE row gather instead of the reference's two block fetches
+# (AwFmSearch.c:57-58) — measured 1.35-1.42x on TPU v5e. Queries whose
+# range still spans past the pair window (rare: wide ranges right after
+# seeding in repeat-rich corpora) are FLAGGED, and the caller re-runs
+# just those through the classic two-gather step — results are exact
+# either way.
+
+_PAIR_IOTA = np.arange(64, dtype=np.int32)  # bytes per 512-position plane
+
+
+def _inclusive_mask_pair(local):
+    """(B, 64) uint8 mask keeping bits 0..local inclusive, local in
+    [0, 512) relative to the pair row's first block."""
+    byte_idx = (local >> 3)[:, None]
+    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
+    low = (jnp.uint8(2) << bit_idx) - jnp.uint8(1)
+    b = _PAIR_IOTA[None, :]
+    return jnp.where(
+        b < byte_idx, jnp.uint8(0xFF), jnp.where(b == byte_idx, low, jnp.uint8(0))
+    )
+
+
+def _match_bytes_pair(dev, rows, letter_indices):
+    """(B, 64) uint8 match bits over a pair row's 512 positions."""
+    cms = _code_mask_bytes(dev, letter_indices)
+    diff = None
+    for i in range(dev.n_planes):
+        x = rows[:, i * 64 : (i + 1) * 64] ^ cms[i][:, None]
+        diff = x if diff is None else (diff | x)
+    return ~diff
+
+
+def _milestone_pair(dev, rows, letter_indices):
+    """Block-b milestone from a pair row (one-hot select)."""
+    card = dev.cardinality
+    off = dev.n_planes * 64
+    raw = rows[:, off : off + (card + 1) * 4].reshape(-1, card + 1, 4)
+    ms = lax.bitcast_convert_type(raw, jnp.uint32)
+    out = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
+    for j in range(card + 1):
+        out = out + jnp.where(letter_indices == j, ms[:, j], jnp.uint32(0))
+    return out
+
+
+def backward_step_pair(dev, start, end, letter_indices, bad, active=None):
+    """One-gather backward step; flags ranges wider than the pair window.
+
+    Returns (new_start, new_end, bad). Rows already flagged keep
+    stepping (their results are discarded by the caller's re-run), and
+    rows whose end falls outside the pair window get a clamped (wrong)
+    end — hence the flag.
+    """
+    c = _prefix_sum_select(dev, letter_indices)
+    pos_s = start - jnp.uint32(1)
+    base = (pos_s >> jnp.uint32(8)).astype(jnp.int32)
+    local_s = (pos_s & jnp.uint32(0xFF)).astype(jnp.int32)
+    local_e = (end - (pos_s & ~jnp.uint32(0xFF))).astype(jnp.int32)
+    overflow = local_e >= 512
+    local_e = jnp.minimum(local_e, 511)
+
+    rows = dev.packed_pair[base]
+    match = _match_bytes_pair(dev, rows, letter_indices)
+    occ_s = jnp.sum(
+        lax.population_count(match & _inclusive_mask_pair(local_s)),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    occ_e = jnp.sum(
+        lax.population_count(match & _inclusive_mask_pair(local_e)),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    ms = _milestone_pair(dev, rows, letter_indices)
+    new_start = c + ms + occ_s.astype(jnp.uint32)
+    new_end = c + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)
+
+    keep = start <= end
+    if active is not None:
+        keep = keep & active
+    bad = bad | (overflow & keep)
+    return (
+        jnp.where(keep, new_start, start),
+        jnp.where(keep, new_end, end),
+        bad,
+    )
+
+
+def pair_occurrence_single(dev, positions, letter_indices):
+    """occ(l, pos) via the pair table (first-block half of pair rows).
+
+    Bit-identical to occurrence(); used where only the pair table is
+    resident. One 2x-width row gather instead of a 1x gather.
+    """
+    blk = (positions // POSITIONS_PER_BLOCK).astype(jnp.int32)
+    local = (positions % POSITIONS_PER_BLOCK).astype(jnp.int32)
+    rows = dev.packed_pair[blk]
+    match = _match_bytes_pair(dev, rows, letter_indices)
+    cnt = jnp.sum(
+        lax.population_count(match & _inclusive_mask_pair(local)),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    return _milestone_pair(dev, rows, letter_indices) + cnt.astype(jnp.uint32)
+
+
 def letter_and_lf_at(dev, positions):
     """Read the BWT letter at each position and compute its LF mapping.
 

@@ -139,6 +139,7 @@ class RangeShardedSearchEngine(SearchEngine):
 
         self.dev = DeviceIndex(
             packed=shard(packed_host, P(AXIS, None)),
+            packed_pair=None,  # capacity mode keeps the classic two-gather step
             prefix_sums=rep(index.prefix_sums.astype(np.uint32)),
             seed_table=rep(index.seed_table_host().astype(np.uint32)),
             sampled_sa=shard(sa_padded, P(AXIS)),

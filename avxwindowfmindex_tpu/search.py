@@ -165,6 +165,47 @@ def _step_all(dev, start, end, letters):
     return rank_ops.backward_step(dev, start, end, letters.astype(jnp.int32))
 
 
+# -- pair-row (one-gather) steps --------------------------------------------
+
+@jax.jit
+def _step_masked_pair(dev, start, end, bad, letters, active):
+    return rank_ops.backward_step_pair(
+        dev, start, end, letters.astype(jnp.int32), bad, active
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _steps_fused_pair(dev, start, end, bad, *letter_cols, seg):
+    for s in range(seg):
+        start, end, bad = rank_ops.backward_step_pair(
+            dev, start, end, letter_cols[s].astype(jnp.int32), bad
+        )
+    return start, end, bad
+
+
+@jax.jit
+def _flag_count(bad):
+    return jnp.sum(bad, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _flag_indices(bad, *, m):
+    return jnp.nonzero(bad, size=m, fill_value=0)[0].astype(jnp.int32)
+
+
+@jax.jit
+def _scatter_ranges(start, end, idx, sub_s, sub_e):
+    return start.at[idx].set(sub_s), end.at[idx].set(sub_e)
+
+
+def _use_pair_rows(dev) -> bool:
+    import os
+
+    return dev.packed_pair is not None and os.environ.get(
+        "AWFM_PAIR_ROWS", "1"
+    ) != "0"
+
+
 def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool,
                      put=None):
     """Host-driven extension loop; bit-identical to the scan kernels.
@@ -173,7 +214,21 @@ def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool,
     device_put for data-parallel meshes (the per-step programs are
     GSPMD-partitionable: batch-elementwise plus replicated-table
     gathers, no collectives).
+
+    Seeded batches route through the ONE-GATHER pair-row step when the
+    pair table is resident; queries whose range outgrew the pair window
+    (flagged on device) are re-run through this classic two-gather loop,
+    so results are exact in all cases. Unseeded batches start with
+    whole-letter ranges that always span many blocks, so they keep the
+    classic step.
     """
+    if seeded and _use_pair_rows(dev):
+        return _ranges_steploop_pair(dev, mat, lengths, put)
+    return _ranges_steploop_classic(dev, mat, lengths, seeded, put)
+
+
+def _ranges_steploop_classic(dev, mat: np.ndarray, lengths: np.ndarray,
+                             seeded: bool, put=None):
     if put is None:
         put = jnp.asarray
     b, l = mat.shape
@@ -209,6 +264,60 @@ def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool,
                 dev, start, end, put(letters[:, t]), put(active[:, t])
             )
     return start, end
+
+
+def _ranges_steploop_pair(dev, mat: np.ndarray, lengths: np.ndarray, put=None):
+    """Seeded extension with one-gather pair steps + flagged re-runs."""
+    if put is None:
+        put = jnp.asarray
+    b, l = mat.shape
+    k = dev.kmer_length_in_seed_table
+    idxs = np.clip(lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1)
+    start, end = _seed_lookup(dev, put(np.take_along_axis(mat, idxs, axis=1)))
+    n_steps = max(0, l - k)
+    pos = lengths[:, None] - k - 1 - np.arange(n_steps)[None, :]
+    letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
+    active = pos >= 0
+    bad = put(np.zeros(b, dtype=bool))
+    if bool(active.all()):
+        fuse = _fuse_steps()
+        for lo in range(0, n_steps, fuse):
+            seg = list(range(lo, min(lo + fuse, n_steps)))
+            start, end, bad = _steps_fused_pair(
+                dev, start, end, bad,
+                *[put(letters[:, t]) for t in seg], seg=len(seg),
+            )
+    else:
+        for t in range(n_steps):
+            start, end, bad = _step_masked_pair(
+                dev, start, end, bad, put(letters[:, t]), put(active[:, t])
+            )
+    return _fixup_flagged(
+        dev, mat, lengths, start, end, bad,
+        lambda sub_mat, sub_len: _ranges_steploop_classic(
+            dev, sub_mat, sub_len, True, put
+        ),
+    )
+
+
+def _fixup_flagged(dev, mat, lengths, start, end, bad, classic_fn):
+    """Re-run flagged queries through an exact classic path.
+
+    ONE scalar readback when nothing flagged (the common case); else the
+    flagged indices are compacted on device and only those few int32s
+    cross to the host (bulk device->host is the expensive direction).
+    """
+    cnt = int(np.asarray(_flag_count(bad)))
+    if cnt == 0:
+        return start, end
+    b = mat.shape[0]
+    if cnt > b // 4:
+        return classic_fn(mat, lengths)
+    m = _round_up_pow2(cnt, floor=64)
+    idx_dev = _flag_indices(bad, m=m)
+    idx = np.asarray(idx_dev)
+    sub_s, sub_e = classic_fn(mat[idx], lengths[idx])
+    return _scatter_ranges(start, end, idx_dev, sub_s, sub_e)
 
 
 def _use_step_loop() -> bool:
@@ -621,6 +730,22 @@ def _ngram_steps_fused(ng, start, end, *letter_cols, seg):
 
 
 @functools.partial(jax.jit, static_argnames=("seg",))
+def _ngram_steps_fused_pair(ng, start, end, bad, *letter_cols, seg):
+    """`seg` consecutive one-gather n-gram steps in one program."""
+    from .ops import ngram as ngram_ops
+
+    n = ng.n
+    for s in range(seg):
+        letters = [
+            letter_cols[s * n + j].astype(jnp.int32) for j in range(n)
+        ]
+        start, end, bad = ngram_ops.ngram_backward_step_pair(
+            ng, start, end, letters, bad
+        )
+    return start, end, bad
+
+
+@functools.partial(jax.jit, static_argnames=("seg",))
 def _steps_fused(dev, start, end, *letter_cols, seg):
     """`seg` consecutive unmasked single steps in one program."""
     for s in range(seg):
@@ -658,8 +783,56 @@ def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
 
     floor(m/n) n-gram steps right-to-left (static columns), then the
     m mod n leftmost letters as single steps; consecutive steps are
-    grouped into fused programs of AWFM_FUSE_STEPS.
+    grouped into fused programs of AWFM_FUSE_STEPS. Steps are one-gather
+    pair steps when the pair tables are on; flagged queries re-run the
+    exact two-gather loop.
     """
+    n = ng.n
+    m = kmer_len - seed_k
+    fuse = _fuse_ngram()
+    pair = _use_pair_rows(dev)
+    start, end = _seed_lookup(
+        dev, jnp.asarray(mat[:, kmer_len - seed_k : kmer_len])
+    )
+    bad = jnp.zeros(mat.shape[0], dtype=bool)
+    groups = [
+        [m - n * (t + 1) + j for j in range(n)] for t in range(m // n)
+    ]
+    for lo in range(0, len(groups), fuse):
+        seg = groups[lo : lo + fuse]
+        cols = [c for g in seg for c in g]
+        put_cols = [jnp.asarray(mat[:, c]) for c in cols]
+        if pair:
+            start, end, bad = _ngram_steps_fused_pair(
+                ng, start, end, bad, *put_cols, seg=len(seg)
+            )
+        else:
+            start, end = _ngram_steps_fused(
+                ng, start, end, *put_cols, seg=len(seg)
+            )
+    tail = list(range(m % n - 1, -1, -1))
+    for lo in range(0, len(tail), fuse):
+        seg = tail[lo : lo + fuse]
+        put_cols = [jnp.asarray(mat[:, c]) for c in seg]
+        if pair:
+            start, end, bad = _steps_fused_pair(
+                dev, start, end, bad, *put_cols, seg=len(seg)
+            )
+        else:
+            start, end = _steps_fused(dev, start, end, *put_cols, seg=len(seg))
+    if not pair:
+        return start, end
+    lengths = np.full(mat.shape[0], kmer_len, dtype=np.int32)
+    return _fixup_flagged(
+        dev, mat, lengths, start, end, bad,
+        lambda sub_mat, sub_len: _ngram_ranges_classic(
+            dev, ng, sub_mat, kmer_len=kmer_len, seed_k=seed_k
+        ),
+    )
+
+
+def _ngram_ranges_classic(dev, ng, mat, *, kmer_len, seed_k):
+    """Two-gather n-step loop (exact for any range width; fixup path)."""
     n = ng.n
     m = kmer_len - seed_k
     fuse = _fuse_ngram()
