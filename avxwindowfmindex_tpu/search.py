@@ -433,24 +433,45 @@ def backtrace_all(dev, positions):
 
     Expected chain length is ~ratio but the max over a large batch is
     ~ratio*ln(B); a plain masked while_loop therefore pays ~10x the
-    useful work re-scanning finished rows. This driver runs a fixed-trip
-    scan, then repeatedly COMPACTS the undone stragglers into a
-    geometrically smaller dense batch (device-side nonzero/scatter; only
-    a scalar count crosses to the host per round).
+    useful work re-scanning finished rows. This driver runs short
+    fixed-trip segments (~ratio/2 LF steps: P(still unsampled) ~ 0.59
+    regardless of ratio) and COMPACTS the undone stragglers into a
+    geometrically smaller dense batch between segments.
+
+    The first rounds follow a FIXED 5/8-shrink schedule with no host
+    round trips — the compaction sizes are statistical, so a round may
+    leave some stragglers uncompacted (e.g. a batch of duplicated
+    positions whose walks are perfectly correlated); they are never
+    lost, just deferred to the synced tail loop, which checks the FULL
+    array and therefore guarantees completion exactly.
     """
-    n_steps = min(64, max(4, 2 * dev.ratio))
+    if dev.ratio == 1:
+        # every BWT position is sampled: nothing to walk
+        return positions, jnp.zeros_like(positions)
+    b = positions.shape[0]
+    seg = max(1, dev.ratio // 2)
     zeros = jnp.zeros_like(positions)
-    p, off = _backtrace_steps_any(dev, positions, zeros, n_steps)
+    p, off = _backtrace_steps_any(dev, positions, zeros, seg)
+    # fixed sync-free shrink schedule (large batches only)
+    m = (b * 5) // 8
+    while m >= 4096:
+        m = _round_up(m, 256)
+        idx, sub_p, sub_off = _gather_undone(dev, p, off, m=m)
+        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, seg)
+        p, off = _scatter_back(p, off, idx, sub_p, sub_off)
+        m = (m * 5) // 8
+    # synced tail: exact completion
+    tail_steps = min(64, max(4, 2 * dev.ratio))
     while True:
         cnt = int(_undone_count(dev, p))
         if cnt == 0:
             return p, off
         m = _round_up_pow2(cnt, floor=256)
         if m >= p.shape[0]:
-            p, off = _backtrace_steps_any(dev, p, off, n_steps)
+            p, off = _backtrace_steps_any(dev, p, off, tail_steps)
             continue
         idx, sub_p, sub_off = _gather_undone(dev, p, off, m=m)
-        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, n_steps)
+        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, tail_steps)
         p, off = _scatter_back(p, off, idx, sub_p, sub_off)
 
 
@@ -466,6 +487,66 @@ def _backtrace_resolve(dev, positions):
     """Single-program backtrace + resolve (for shard_map bodies)."""
     p, off = _backtrace_to_sampled(dev, positions)
     return _resolve_samples(dev, p, off)
+
+
+@jax.jit
+def _total_hits(start, end):
+    """Sum of range lengths over a batch (scalar, for sizing buffers)."""
+    valid = start <= end
+    return jnp.sum(
+        jnp.where(valid, end - start + jnp.uint32(1), jnp.uint32(0)),
+        dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def enumerate_range_positions(start, end, *, capacity):
+    """Flatten BWT ranges into per-hit positions, ON DEVICE.
+
+    The reference enumerates ``range.startPtr + i`` per hit on the host
+    (AwFmParallelSearch.c:315-341); pulling (start, end) off a TPU to do
+    that would bottleneck on device->host bandwidth, so this builds the
+    flat position list with a static-size ``jnp.repeat`` instead.
+
+    ``capacity`` must be >= the total hit count (get it from
+    ``_total_hits``; the call recompiles per distinct capacity, so round
+    it up coarsely). Returns (positions, query_ids, valid_mask), each
+    (capacity,); positions/query_ids beyond the total are 0-filled with
+    valid_mask False. Hits appear grouped by query in range order —
+    identical content and order to the reference's per-query
+    positionList, keyed by query_ids.
+    """
+    b = start.shape[0]
+    valid = start <= end
+    counts = jnp.where(valid, end - start + jnp.uint32(1), jnp.uint32(0)).astype(
+        jnp.int32
+    )
+    seg_off = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    base = jnp.repeat(start, counts, total_repeat_length=capacity)
+    off0 = jnp.repeat(
+        seg_off.astype(jnp.uint32), counts, total_repeat_length=capacity
+    )
+    qid = jnp.repeat(
+        jnp.arange(b, dtype=jnp.int32), counts, total_repeat_length=capacity
+    )
+    iota = jnp.arange(capacity, dtype=jnp.uint32)
+    mask = iota < jnp.sum(counts, dtype=jnp.int32).astype(jnp.uint32)
+    pos = jnp.where(mask, base + (iota - off0), jnp.uint32(0))
+    return pos, jnp.where(mask, qid, jnp.int32(0)), mask
+
+
+def locate_flat_device(dev, start, end, *, capacity):
+    """Full-hit-list locate staying on device end to end.
+
+    enumerate -> compacting backtrace -> sampled-SA resolve; the
+    device-batched equivalent of AwFmParallelSearch.c:315-365 over every
+    position of every range. Returns (hits, query_ids, valid_mask), each
+    (capacity,) on device; masked-off entries resolve position 0 and
+    must be ignored.
+    """
+    pos, qid, mask = enumerate_range_positions(start, end, capacity=capacity)
+    p, off = backtrace_all(dev, pos)
+    return _resolve_samples(dev, p, off), qid, mask
 
 
 # ---------------------------------------------------------------------------

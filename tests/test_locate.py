@@ -81,6 +81,36 @@ def test_locate_empty_result(rng):
     assert len(hits) == 1 and len(hits[0]) == 0
 
 
+@pytest.mark.parametrize("steploop", [False, True])
+def test_locate_flat_device_matches_host(rng, monkeypatch, steploop):
+    # device-side enumerate+backtrace+resolve == host locate (content,
+    # order, and query grouping), including invalid ranges and padding
+    import jax.numpy as jnp
+
+    import avxwindowfmindex_tpu.search as search_mod
+
+    if steploop:
+        monkeypatch.setattr(search_mod, "_use_step_loop", lambda: True)
+    seq = random_sequence(rng, 700, AlphabetType.DNA)
+    index = create_index(seq, _cfg(AlphabetType.DNA, ratio=8))
+    engine = SearchEngine(index)
+    kmers = [random_kmer(rng, int(rng.integers(1, 5)), AlphabetType.DNA) for _ in range(40)]
+    kmers.append(b"TTTTTTTTTTTT")  # a (probably) absent kmer: invalid range
+    want_lists = engine.locate(kmers)
+    ranges = engine.find_ranges(kmers)
+    s = jnp.asarray(ranges[:, 0].astype(np.uint32))
+    e = jnp.asarray(ranges[:, 1].astype(np.uint32))
+    total = int(np.asarray(search_mod._total_hits(s, e)))
+    assert total == sum(len(w) for w in want_lists)
+    cap = search_mod._round_up_pow2(total, floor=64)
+    hits, qid, mask = search_mod.locate_flat_device(engine.dev, s, e, capacity=cap)
+    hits, qid, mask = np.asarray(hits), np.asarray(qid), np.asarray(mask)
+    assert mask.sum() == total
+    for q, want in enumerate(want_lists):
+        got = hits[mask & (qid == q)]
+        np.testing.assert_array_equal(got.astype(np.uint64), want)
+
+
 def test_steploop_backtrace_fused_matches(rng, monkeypatch):
     import avxwindowfmindex_tpu.search as search_mod
 
