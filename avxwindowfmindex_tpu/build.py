@@ -89,6 +89,9 @@ def _build_from_sanitized(
     bwt_letters = _compute_bwt_letters(seq_with_sentinel, sa, config.alphabet_type)
     prefix_sums = _compute_prefix_sums(bwt_letters, config.alphabet_type)
     sampled = sa[:: config.suffix_array_compression_ratio].astype(np.uint64)
+    guard = sa_mod.guard_bytes_from_full_sa(
+        sa, bwt_length, config.suffix_array_compression_ratio
+    )
     del sa  # the full SA (~25 GB at hg38 scale) is not needed past sampling
 
     feature_flags = 0
@@ -102,6 +105,7 @@ def _build_from_sanitized(
         prefix_sums=prefix_sums,
         kmer_seed_table=None,  # built on device below
         sampled_sa=sampled,
+        sa_guard_bytes=guard,
         version_number=CURRENT_VERSION_NUMBER,
         feature_flags=feature_flags,
         sequence=original_sequence if config.store_original_sequence else None,

@@ -40,6 +40,7 @@ def save_artifact(index: FmIndex, path: str) -> None:
         "prefix_sums": index.prefix_sums,
         "kmer_seed_table": index.seed_table_host(),
         "sampled_sa": index.sampled_sa,
+        "sa_guard_bytes": np.frombuffer(index.sa_guard_bytes, dtype=np.uint8),
     }
     if index.sequence is not None:
         payload["sequence"] = np.frombuffer(index.sequence, dtype=np.uint8)
@@ -86,4 +87,9 @@ def load_artifact(path: str) -> FmIndex:
             sequence=sequence,
             fasta_metadata=metadata,
             file_path=None,
+            sa_guard_bytes=(
+                z["sa_guard_bytes"].tobytes()
+                if "sa_guard_bytes" in z
+                else b"\x00" * 8
+            ),
         )

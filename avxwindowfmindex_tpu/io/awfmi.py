@@ -19,16 +19,18 @@ File layout, strictly ordered (AwFmFile.c:20-193):
 
 All integers little-endian (the reference fwrites x86 host structs).
 
-Byte-compatibility caveat: the core sections (header, blocks,
-prefixSums, seed table, sequence, packed SA) follow AwFmFile.c exactly.
-The FastaVector section's INTERNAL conventions (e.g. whether
-header.charData carries per-header terminators) are defined by the
-FastaVector submodule, which is not present in the reference snapshot;
-this writer stores raw header text with no terminators, matching how
-AwFmFile.c:360-440 and AwFmSearch.c:303-315 consume the buffers.
-Cross-library interop of THAT section is unverified until a golden
-fixture from the C library exists (tests/test_golden_parity.py covers
-the rest).
+Byte-compatibility status: PROVEN against the reference binary.
+tests/test_golden_reference.py compiles the actual reference sources
+(via the shims in native/golden/) and byte-compares whole files —
+identical for nucleotide + amino, raw + FASTA, multiple ratios/k,
+including the packed-SA trailing pad bytes (which the reference's
+in-place packer fills with full-SA leftovers; see
+FmIndex.sa_guard_bytes). One remaining caveat: the FastaVector
+submodule is absent from the reference snapshot, so that section's
+internal conventions (headers stored without '>' or terminators,
+cumulative u64 end offsets) are reconstructed from the reference's
+usage (AwFmFile.c:360-440, AwFmSearch.c:303-315) and shared by writer
+and shim rather than cross-checked against the upstream library.
 """
 
 from __future__ import annotations
@@ -173,7 +175,12 @@ def write_index(index: FmIndex, path: str) -> None:
 
 
 def _pack_sampled(index: FmIndex):
-    """Bit-pack the in-memory sampled SA (AwFmSuffixArray.c:58-112)."""
+    """Bit-pack the in-memory sampled SA (AwFmSuffixArray.c:58-112).
+
+    The 8 pad bytes after the packed bits carry the reference's
+    in-place-packing leftovers (full-SA image bytes); ``sa_guard_bytes``
+    reproduces them for byte-identical files (zeros when unknown, e.g.
+    an index assembled without the full SA)."""
     width = sa_mod.value_min_bit_width(index.bwt_length)
     packed = sa_mod.pack_values(index.sampled_sa, width)
     total = sa_mod.compressed_sa_size_in_bytes(
@@ -181,6 +188,8 @@ def _pack_sampled(index: FmIndex):
     )
     out = np.zeros(total, dtype=np.uint8)
     out[: len(packed)] = packed
+    guard = np.frombuffer(index.sa_guard_bytes, dtype=np.uint8)
+    out[len(packed) : len(packed) + len(guard)] = guard[: total - len(packed)]
     return out, width
 
 
@@ -223,13 +232,16 @@ def read_index(path: str, keep_suffix_array_in_memory: bool = True) -> FmIndex:
 
         sa_bytes_len = sa_mod.compressed_sa_size_in_bytes(bwt_length, ratio)
         sampled = None
+        guard = b"\x00" * 8
         if keep_suffix_array_in_memory:
             packed = np.frombuffer(fh.read(sa_bytes_len), dtype=np.uint8)
+            guard = packed[sa_bytes_len - 8 :].tobytes()
             width = sa_mod.value_min_bit_width(bwt_length)
             n_samples = (bwt_length + ratio - 1) // ratio
             sampled = sa_mod.unpack_values(packed, width, n_samples)
         else:
-            fh.seek(sa_bytes_len, os.SEEK_CUR)
+            fh.seek(sa_bytes_len - 8, os.SEEK_CUR)
+            guard = fh.read(8)
 
         metadata = None
         if feature_flags & 1:
@@ -255,6 +267,7 @@ def read_index(path: str, keep_suffix_array_in_memory: bool = True) -> FmIndex:
         sequence=sequence,
         fasta_metadata=metadata,
         file_path=path,
+        sa_guard_bytes=guard,
     )
     index.sequence_file_offset = sequence_file_offset(index)
     index.suffix_array_file_offset = suffix_array_file_offset(index)

@@ -325,6 +325,10 @@ class FmIndex:
     sequence: Optional[bytes] = None  # original (unsanitized) sequence
     fasta_metadata: Optional[FastaMetadata] = None
     file_path: Optional[str] = None  # backing .awfmi file, if any
+    # the 8 pad bytes trailing the packed-SA region: the reference's
+    # in-place packer leaves full-SA leftovers there (AwFmSuffixArray.c:
+    # 58-112); kept for byte-identical .awfmi output (io/awfmi.py)
+    sa_guard_bytes: bytes = b"\x00" * 8
     suffix_array_file_offset: Optional[int] = None
     sequence_file_offset: Optional[int] = None
     _device_cache: Optional[DeviceIndex] = dataclasses.field(

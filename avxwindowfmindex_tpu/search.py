@@ -227,13 +227,44 @@ def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool,
     return _ranges_steploop_classic(dev, mat, lengths, seeded, put)
 
 
-def _ranges_steploop_classic(dev, mat: np.ndarray, lengths: np.ndarray,
-                             seeded: bool, put=None):
-    if put is None:
-        put = jnp.asarray
+def _steploop_letters(dev, mat, lengths, seeded: bool, put):
+    """Seed/initial state + per-step letter columns for a step loop.
+
+    Returns (start, end, cols, active) where ``cols`` is a list of
+    device (B,) letter columns (leftmost-last extension order) and
+    ``active`` a list of device (B,) bool columns or None when every
+    step is fully active.
+
+    Host->device traffic is ONE bulk ``put`` per batch (the letters
+    matrix, or nothing when ``mat`` is already device-resident) —
+    per-column transfers measured 2.8x slower end-to-end on tunneled
+    TPU runtimes (experiments/ab_r2_devmat_results.txt). Uniform-length
+    batches slice columns straight off the device matrix; their active
+    masks are per-step constants, so all-inactive steps are simply
+    dropped and the rest run unmasked.
+    """
+    import jax as _jax
+
+    k = dev.kmer_length_in_seed_table
     b, l = mat.shape
+    lengths = np.asarray(lengths)
+    uniform = bool((lengths == lengths[0]).all())
+    is_dev = isinstance(mat, _jax.Array)
+    if is_dev and not uniform:
+        # rare (mixed-length device batch): host math needs the bytes
+        mat = np.asarray(mat)
+        is_dev = False
+    if is_dev:
+        mat = put(mat)  # apply caller sharding; no-op for jnp.asarray
+        l0 = int(lengths[0])
+        if seeded:
+            start, end = _seed_lookup(dev, mat[:, l0 - k : l0])
+            cols = [mat[:, t] for t in range(l0 - k - 1, -1, -1)]
+        else:
+            start, end = _initial_range(dev, mat[:, l0 - 1])
+            cols = [mat[:, t] for t in range(l0 - 2, -1, -1)]
+        return start, end, cols, None
     if seeded:
-        k = dev.kmer_length_in_seed_table
         idxs = np.clip(lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1)
         start, end = _seed_lookup(
             dev, put(np.take_along_axis(mat, idxs, axis=1))
@@ -249,20 +280,33 @@ def _ranges_steploop_classic(dev, mat: np.ndarray, lengths: np.ndarray,
         pos = lengths[:, None] - 2 - np.arange(n_steps)[None, :]
     letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
     active = pos >= 0
-    uniform = bool(active.all())
-    if uniform:
+    # drop trailing all-inactive steps (uniform batches padded on the
+    # length axis); a run of live steps needs no masks at all
+    live = [t for t in range(n_steps) if active[:, t].any()]
+    if not live:
+        return start, end, [], None
+    n_steps = max(live) + 1
+    letters_dev = put(letters[:, :n_steps])
+    cols = [letters_dev[:, t] for t in range(n_steps)]
+    if bool(active[:, :n_steps].all()):
+        return start, end, cols, None
+    active_dev = put(active[:, :n_steps])
+    return start, end, cols, [active_dev[:, t] for t in range(n_steps)]
+
+
+def _ranges_steploop_classic(dev, mat: np.ndarray, lengths: np.ndarray,
+                             seeded: bool, put=None):
+    if put is None:
+        put = jnp.asarray
+    start, end, cols, active = _steploop_letters(dev, mat, lengths, seeded, put)
+    if active is None:
         fuse = _fuse_steps()
-        for lo in range(0, n_steps, fuse):
-            seg = list(range(lo, min(lo + fuse, n_steps)))
-            start, end = _steps_fused(
-                dev, start, end,
-                *[put(letters[:, t]) for t in seg], seg=len(seg),
-            )
+        for lo in range(0, len(cols), fuse):
+            seg = cols[lo : lo + fuse]
+            start, end = _steps_fused(dev, start, end, *seg, seg=len(seg))
     else:
-        for t in range(n_steps):
-            start, end = _step_masked(
-                dev, start, end, put(letters[:, t]), put(active[:, t])
-            )
+        for col, act in zip(cols, active):
+            start, end = _step_masked(dev, start, end, col, act)
     return start, end
 
 
@@ -270,28 +314,18 @@ def _ranges_steploop_pair(dev, mat: np.ndarray, lengths: np.ndarray, put=None):
     """Seeded extension with one-gather pair steps + flagged re-runs."""
     if put is None:
         put = jnp.asarray
-    b, l = mat.shape
-    k = dev.kmer_length_in_seed_table
-    idxs = np.clip(lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1)
-    start, end = _seed_lookup(dev, put(np.take_along_axis(mat, idxs, axis=1)))
-    n_steps = max(0, l - k)
-    pos = lengths[:, None] - k - 1 - np.arange(n_steps)[None, :]
-    letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
-    active = pos >= 0
-    bad = put(np.zeros(b, dtype=bool))
-    if bool(active.all()):
+    start, end, cols, active = _steploop_letters(dev, mat, lengths, True, put)
+    bad = put(np.zeros(mat.shape[0], dtype=bool))
+    if active is None:
         fuse = _fuse_steps()
-        for lo in range(0, n_steps, fuse):
-            seg = list(range(lo, min(lo + fuse, n_steps)))
+        for lo in range(0, len(cols), fuse):
+            seg = cols[lo : lo + fuse]
             start, end, bad = _steps_fused_pair(
-                dev, start, end, bad,
-                *[put(letters[:, t]) for t in seg], seg=len(seg),
+                dev, start, end, bad, *seg, seg=len(seg)
             )
     else:
-        for t in range(n_steps):
-            start, end, bad = _step_masked_pair(
-                dev, start, end, bad, put(letters[:, t]), put(active[:, t])
-            )
+        for col, act in zip(cols, active):
+            start, end, bad = _step_masked_pair(dev, start, end, bad, col, act)
     return _fixup_flagged(
         dev, mat, lengths, start, end, bad,
         lambda sub_mat, sub_len: _ranges_steploop_classic(
@@ -390,11 +424,12 @@ def _fuse_backtrace() -> int:
 
     Unlike the digram extension (where fusion pessimizes XLA codegen,
     measured), fused LF chains are simple single-gather programs and
-    amortize dispatch overhead well; default 4.
+    amortize dispatch overhead well; default 8 (interleaved A/B on v5e:
+    11% faster than 4 — experiments/ab_r2_config_results.txt).
     """
     import os
 
-    return max(1, int(os.environ.get("AWFM_FUSE_BACKTRACE", "4")))
+    return max(1, int(os.environ.get("AWFM_FUSE_BACKTRACE", "8")))
 
 
 def _backtrace_steps_any(dev, p, off, n_steps):
@@ -872,9 +907,11 @@ def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
     m = kmer_len - seed_k
     fuse = _fuse_ngram()
     pair = _use_pair_rows(dev)
-    start, end = _seed_lookup(
-        dev, jnp.asarray(mat[:, kmer_len - seed_k : kmer_len])
-    )
+    # ONE bulk upload; per-step columns are then device slices (per-
+    # column transfers measured 2.8x slower end-to-end through tunneled
+    # runtimes — experiments/ab_r2_devmat_results.txt)
+    mat = jnp.asarray(mat)
+    start, end = _seed_lookup(dev, mat[:, kmer_len - seed_k : kmer_len])
     bad = jnp.zeros(mat.shape[0], dtype=bool)
     groups = [
         [m - n * (t + 1) + j for j in range(n)] for t in range(m // n)
@@ -882,7 +919,7 @@ def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
     for lo in range(0, len(groups), fuse):
         seg = groups[lo : lo + fuse]
         cols = [c for g in seg for c in g]
-        put_cols = [jnp.asarray(mat[:, c]) for c in cols]
+        put_cols = [mat[:, c] for c in cols]
         if pair:
             start, end, bad = _ngram_steps_fused_pair(
                 ng, start, end, bad, *put_cols, seg=len(seg)
@@ -894,7 +931,7 @@ def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
     tail = list(range(m % n - 1, -1, -1))
     for lo in range(0, len(tail), fuse):
         seg = tail[lo : lo + fuse]
-        put_cols = [jnp.asarray(mat[:, c]) for c in seg]
+        put_cols = [mat[:, c] for c in seg]
         if pair:
             start, end, bad = _steps_fused_pair(
                 dev, start, end, bad, *put_cols, seg=len(seg)
@@ -917,9 +954,8 @@ def _ngram_ranges_classic(dev, ng, mat, *, kmer_len, seed_k):
     n = ng.n
     m = kmer_len - seed_k
     fuse = _fuse_ngram()
-    start, end = _seed_lookup(
-        dev, jnp.asarray(mat[:, kmer_len - seed_k : kmer_len])
-    )
+    mat = jnp.asarray(mat)  # one bulk upload; columns sliced on device
+    start, end = _seed_lookup(dev, mat[:, kmer_len - seed_k : kmer_len])
     groups = [
         [m - n * (t + 1) + j for j in range(n)] for t in range(m // n)
     ]
@@ -927,15 +963,13 @@ def _ngram_ranges_classic(dev, ng, mat, *, kmer_len, seed_k):
         seg = groups[lo : lo + fuse]
         cols = [c for g in seg for c in g]
         start, end = _ngram_steps_fused(
-            ng, start, end, *[jnp.asarray(mat[:, c]) for c in cols],
-            seg=len(seg),
+            ng, start, end, *[mat[:, c] for c in cols], seg=len(seg)
         )
     tail = list(range(m % n - 1, -1, -1))
     for lo in range(0, len(tail), fuse):
         seg = tail[lo : lo + fuse]
         start, end = _steps_fused(
-            dev, start, end, *[jnp.asarray(mat[:, c]) for c in seg],
-            seg=len(seg),
+            dev, start, end, *[mat[:, c] for c in seg], seg=len(seg)
         )
     return start, end
 

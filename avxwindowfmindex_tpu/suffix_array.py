@@ -130,6 +130,31 @@ def pack_sampled_sa(full_sa: np.ndarray, sa_length: int, ratio: int) -> tuple:
     return out, width
 
 
+def guard_bytes_from_full_sa(full_sa: np.ndarray, sa_length: int, ratio: int) -> bytes:
+    """The 8 trailing pad bytes of the reference's compressed SA region.
+
+    awFmInitCompressedSuffixArray packs IN PLACE over the full u64 SA
+    buffer and then reallocs down to compressedByteLength, which
+    includes AW_FM_SUFFIX_ARRAY_END_PADDING_BYTES = 8 overread-guard
+    bytes (AwFmSuffixArray.c:9, 58-112). Those guard bytes are never
+    written by the packing loop, so the bytes that land in the .awfmi
+    file are LEFTOVERS of the original little-endian u64 suffix-array
+    image at the same byte offsets. Deterministic, so byte-identical
+    output requires reproducing them; this computes exactly those 8
+    bytes from the full SA before it is freed.
+    """
+    width = value_min_bit_width(sa_length)
+    num_samples = (sa_length + ratio - 1) // ratio
+    packed_len = (num_samples * width + 7) // 8
+    lo_word = packed_len // 8
+    start = packed_len - lo_word * 8
+    buf = np.ascontiguousarray(
+        full_sa[lo_word : lo_word + 2], dtype="<u8"
+    ).tobytes()
+    g = buf[start : start + 8]
+    return g + b"\x00" * (8 - len(g))
+
+
 def pack_values(values: np.ndarray, width: int) -> np.ndarray:
     """Little-endian bit-pack `values` at `width` bits each."""
     values = np.asarray(values, dtype=np.uint64)

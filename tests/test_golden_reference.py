@@ -1,0 +1,200 @@
+"""Golden parity against the ACTUAL reference binary.
+
+Builds the reference C library from its read-only sources (via the two
+shims in native/golden/ — see tools/golden_parity.py) and asserts:
+
+  1. .awfmi files are BYTE-IDENTICAL for the same inputs/config
+     (nucleotide + amino, raw + FASTA, several ratios/k, with the
+     in-place-packing guard bytes reproduced);
+  2. count and locate hit lists match exactly, in reference order;
+  3. cross-library interop: the reference searches OUR files and we
+     search ITS files with identical answers;
+  4. FASTA metadata math (sequence number, local position, header)
+     agrees.
+
+Skipped when /root/reference or the native toolchain is unavailable.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from avxwindowfmindex_tpu import (
+    AlphabetType,
+    IndexConfiguration,
+    SearchEngine,
+    create_index,
+    create_index_from_fasta,
+    read_index_from_file,
+)
+from avxwindowfmindex_tpu.tools import golden_parity as gp
+
+pytestmark = pytest.mark.skipif(
+    not gp.reference_available(), reason="reference sources not available"
+)
+
+NT = "ACGTacgt"
+AA = "ACDEFGHIKLMNPQRSTVWYacdefghiklmnpqrstvwy"
+
+
+@pytest.fixture(scope="module")
+def driver():
+    try:
+        return gp.build_golden_driver()
+    except Exception as exc:  # toolchain missing / compile failure
+        pytest.skip(f"golden driver build failed: {exc}")
+
+
+def _random_seq(rng, n, letters, ambig=None):
+    chars = rng.choice(np.frombuffer(letters.encode(), np.uint8), size=n)
+    if ambig:
+        hits = rng.random(n) < 0.01
+        amb = rng.choice(np.frombuffer(ambig.encode(), np.uint8), size=n)
+        chars = np.where(hits, amb, chars)
+    return chars.tobytes()
+
+
+def _random_fasta(rng, path, num_records, letters, ambig=None):
+    with open(path, "w") as fh:
+        for i in range(num_records):
+            fh.write(f">record_{i} descr {i}\n")
+            seq = _random_seq(rng, int(rng.integers(50, 400)), letters, ambig)
+            body = seq.decode()
+            for lo in range(0, len(body), 60):
+                fh.write(body[lo : lo + 60] + "\n")
+
+
+def _cfg(alphabet, ratio, k):
+    return IndexConfiguration(
+        suffix_array_compression_ratio=ratio,
+        kmer_length_in_seed_table=k,
+        alphabet_type=alphabet,
+    )
+
+
+@pytest.mark.parametrize(
+    "alphabet,alpha_str,letters,ratio,k",
+    [
+        (AlphabetType.DNA, "dna", NT, 4, 3),
+        (AlphabetType.DNA, "dna", NT, 8, 5),
+        (AlphabetType.DNA, "dna", NT, 1, 2),
+        (AlphabetType.AMINO, "amino", AA, 4, 2),
+    ],
+)
+def test_raw_index_byte_identity(driver, tmp_path, rng, alphabet, alpha_str, letters, ratio, k):
+    seq = _random_seq(rng, 3000, letters, "NRY" if alphabet == AlphabetType.DNA else "BXZ")
+    seq_file = tmp_path / "seq.txt"
+    seq_file.write_bytes(seq)
+    golden_out = tmp_path / "golden.awfmi"
+    ours_out = tmp_path / "ours.awfmi"
+    gp.run_driver(
+        driver, "create-raw", str(seq_file), alpha_str, str(ratio), str(k), "1",
+        str(golden_out),
+    )
+    create_index(seq, _cfg(alphabet, ratio, k), file_src=str(ours_out))
+    assert golden_out.read_bytes() == ours_out.read_bytes()
+
+
+@pytest.mark.parametrize(
+    "alphabet,alpha_str,letters",
+    [(AlphabetType.DNA, "dna", NT), (AlphabetType.AMINO, "amino", AA)],
+)
+def test_fasta_index_byte_identity(driver, tmp_path, rng, alphabet, alpha_str, letters):
+    fasta = tmp_path / "multi.fasta"
+    _random_fasta(rng, fasta, 5, letters, "N" if alphabet == AlphabetType.DNA else "X")
+    golden_out = tmp_path / "golden.awfmi"
+    ours_out = tmp_path / "ours.awfmi"
+    gp.run_driver(
+        driver, "create-fasta", str(fasta), alpha_str, "4", "3", "1",
+        str(golden_out),
+    )
+    create_index_from_fasta(str(fasta), _cfg(alphabet, 4, 3), index_file_src=str(ours_out))
+    assert golden_out.read_bytes() == ours_out.read_bytes()
+
+
+def test_reference_fixture_fasta_byte_identity(driver, tmp_path):
+    fixture = "/root/reference/test/multiSequenceIndexTest/sequences.fasta"
+    if not os.path.isfile(fixture):
+        pytest.skip("fixture missing")
+    golden_out = tmp_path / "golden.awfmi"
+    ours_out = tmp_path / "ours.awfmi"
+    gp.run_driver(
+        driver, "create-fasta", fixture, "dna", "8", "4", "1", str(golden_out)
+    )
+    create_index_from_fasta(
+        fixture, _cfg(AlphabetType.DNA, 8, 4), index_file_src=str(ours_out)
+    )
+    assert golden_out.read_bytes() == ours_out.read_bytes()
+
+
+def _golden_locate(driver, index_path, kmers, tmp_path):
+    kmer_file = tmp_path / "kmers.txt"
+    kmer_file.write_text("".join(k + "\n" for k in kmers))
+    out = gp.run_driver(driver, "locate", str(index_path), str(kmer_file), "1")
+    res = []
+    for line in out.strip().split("\n"):
+        parts = line.split()
+        res.append(np.array([int(x) for x in parts[1:]], dtype=np.uint64))
+    return res
+
+
+def test_count_locate_parity_and_interop(driver, tmp_path, rng):
+    seq = _random_seq(rng, 4000, NT, "N")
+    seq_file = tmp_path / "seq.txt"
+    seq_file.write_bytes(seq)
+    golden_out = tmp_path / "golden.awfmi"
+    ours_out = tmp_path / "ours.awfmi"
+    gp.run_driver(
+        driver, "create-raw", str(seq_file), "dna", "4", "4", "1", str(golden_out)
+    )
+    index = create_index(seq, _cfg(AlphabetType.DNA, 4, 4), file_src=str(ours_out))
+    engine = SearchEngine(index)
+
+    kmers = []
+    for _ in range(40):
+        n = int(rng.integers(2, 10))
+        lo = int(rng.integers(0, 4000 - n))
+        kmers.append(seq[lo : lo + n].decode().upper())
+    kmers += ["GGGGGGGGGGGG", "ACGT"]
+
+    ours_hits = engine.locate(kmers)
+    # the reference walks its positionList in range order; compare sets
+    # AND order (identical backtrace order is part of parity)
+    golden_hits = _golden_locate(driver, golden_out, kmers, tmp_path)
+    for km, g, o in zip(kmers, golden_hits, ours_hits):
+        np.testing.assert_array_equal(g, o, err_msg=km)
+
+    # interop 1: reference binary searches OUR file
+    golden_on_ours = _golden_locate(driver, ours_out, kmers, tmp_path)
+    for km, g, o in zip(kmers, golden_on_ours, ours_hits):
+        np.testing.assert_array_equal(g, o, err_msg=km)
+
+    # interop 2: we search the reference's file
+    theirs = read_index_from_file(str(golden_out))
+    engine2 = SearchEngine(theirs)
+    for km, g, o in zip(kmers, ours_hits, engine2.locate(kmers)):
+        np.testing.assert_array_equal(g, o, err_msg=km)
+
+
+def test_localize_and_header_parity(driver, tmp_path, rng):
+    fasta = tmp_path / "multi.fasta"
+    _random_fasta(rng, fasta, 6, NT)
+    golden_out = tmp_path / "golden.awfmi"
+    gp.run_driver(
+        driver, "create-fasta", str(fasta), "dna", "4", "3", "1", str(golden_out)
+    )
+    index = create_index_from_fasta(str(fasta), _cfg(AlphabetType.DNA, 4, 3))
+    total = index.bwt_length - 1
+    positions = sorted(int(p) for p in rng.integers(0, total, size=12))
+    out = gp.run_driver(
+        driver, "localize", str(golden_out), *[str(p) for p in positions]
+    )
+    lines = out.strip().split("\n")
+    for pos, line in zip(positions, lines):
+        seq_num, local = index.get_local_sequence_position(pos)
+        header = index.get_header(seq_num)
+        parts = line.split(None, 2)
+        assert int(parts[0]) == seq_num and int(parts[1]) == local, (pos, line)
+        assert parts[2].encode() == header, (pos, line)
