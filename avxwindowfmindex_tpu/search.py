@@ -341,7 +341,11 @@ def _fixup_flagged(dev, mat, lengths, start, end, bad, classic_fn):
     flagged indices are compacted on device and only those few int32s
     cross to the host (bulk device->host is the expensive direction).
     """
+    from .utils import metrics
+
     cnt = int(np.asarray(_flag_count(bad)))
+    if cnt:
+        metrics.counter("search.pair_fixup.flagged").add(cnt)
     if cnt == 0:
         return start, end
     b = mat.shape[0]
@@ -468,37 +472,36 @@ def backtrace_all(dev, positions):
 
     Expected chain length is ~ratio but the max over a large batch is
     ~ratio*ln(B); a plain masked while_loop therefore pays ~10x the
-    useful work re-scanning finished rows. This driver runs short
-    fixed-trip segments (~ratio/2 LF steps: P(still unsampled) ~ 0.59
-    regardless of ratio) and COMPACTS the undone stragglers into a
-    geometrically smaller dense batch between segments.
+    useful work re-scanning finished rows. This driver runs one
+    ratio-step pass over the full batch (undone fraction afterwards
+    ~(1-1/r)^r ~ 34%), then SYNC-FREE compaction rounds of ratio more
+    steps each, with round sizes on a fixed 1/3-shrink schedule
+    (measured per-round survival (7/8)^8 ~ 0.34 for ratio 8, plus
+    slack). The statistical sizes may leave correlated stragglers
+    uncompacted; the exact synced tail loop finishes them.
 
-    The first rounds follow a FIXED 5/8-shrink schedule with no host
-    round trips — the compaction sizes are statistical, so a round may
-    leave some stragglers uncompacted (e.g. a batch of duplicated
-    positions whose walks are perfectly correlated); they are never
-    lost, just deferred to the synced tail loop, which checks the FULL
-    array and therefore guarantees completion exactly.
+    Schedule A/B on v5e, 1M post-seed positions incl. resolve
+    (experiments/ab_r2_backtrace_results.txt): this schedule 0.317 s
+    vs 0.344 (synced-exact rounds of 16) / 0.358 (one 32-step pass) /
+    0.417 (4-step segments, 5/8 shrink).
     """
     if dev.ratio == 1:
         # every BWT position is sampled: nothing to walk
         return positions, jnp.zeros_like(positions)
     b = positions.shape[0]
-    seg = max(1, dev.ratio // 2)
+    seg = dev.ratio
     zeros = jnp.zeros_like(positions)
     p, off = _backtrace_steps_any(dev, positions, zeros, seg)
-    # fixed sync-free shrink schedule (large batches only)
-    m = (b * 5) // 8
+    m = (b * 45) // 100  # survival after `seg` steps ~(1-1/r)^r + slack
     while m >= 4096:
         m = _round_up(m, 256)
         idx, sub_p, sub_off = _gather_undone(dev, p, off, m=m)
         sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, seg)
         p, off = _scatter_back(p, off, idx, sub_p, sub_off)
-        m = (m * 5) // 8
-    # synced tail: exact completion
-    tail_steps = min(64, max(4, 2 * dev.ratio))
+        m = m // 3
+    tail_steps = min(64, max(8, 2 * dev.ratio))
     while True:
-        cnt = int(_undone_count(dev, p))
+        cnt = int(np.asarray(_undone_count(dev, p)))
         if cnt == 0:
             return p, off
         m = _round_up_pow2(cnt, floor=256)
@@ -736,7 +739,11 @@ class SearchEngine:
 
     def count(self, kmers: Sequence[Union[str, bytes]]) -> np.ndarray:
         """Occurrences of each kmer (awFmParallelSearchCount parity)."""
-        ranges = self.find_ranges(kmers)
+        from .utils import metrics
+
+        metrics.counter("search.count.queries").add(len(kmers))
+        with metrics.timer("search.count.seconds"):
+            ranges = self.find_ranges(kmers)
         s, e = ranges[:, 0], ranges[:, 1]
         return np.where(s <= e, e - s + 1, 0).astype(np.uint64)
 
@@ -746,11 +753,16 @@ class SearchEngine:
         Returns, for each kmer, the positions in range order — identical
         content and order to the reference's positionList.
         """
-        ranges = self.find_ranges(kmers)
-        s, e = ranges[:, 0], ranges[:, 1]
-        counts = np.where(s <= e, e - s + 1, 0).astype(np.int64)
-        flat = self._flat_positions(s, counts)
-        hits = self.resolve_positions(flat)
+        from .utils import metrics
+
+        metrics.counter("search.locate.queries").add(len(kmers))
+        with metrics.timer("search.locate.seconds"):
+            ranges = self.find_ranges(kmers)
+            s, e = ranges[:, 0], ranges[:, 1]
+            counts = np.where(s <= e, e - s + 1, 0).astype(np.int64)
+            flat = self._flat_positions(s, counts)
+            hits = self.resolve_positions(flat)
+        metrics.counter("search.locate.hits").add(int(counts.sum()))
         splits = np.cumsum(counts)[:-1]
         return [h for h in np.split(hits, splits)]
 
