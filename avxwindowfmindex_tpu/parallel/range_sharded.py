@@ -261,6 +261,19 @@ class RangeShardedSearchEngine(SearchEngine):
     # -- locate: sharded backtrace ------------------------------------------
 
     def resolve_positions(self, bwt_positions: np.ndarray) -> np.ndarray:
+        """LF-backtrace + sampled-SA resolve with every rank a collective.
+
+        Cost bound (documented, deliberate): the masked ``while_loop``
+        runs until the LONGEST chain finishes — chains are geometric
+        with mean ``ratio``, so the batch maximum is ~``ratio * ln(B)``
+        iterations (~110 for ratio 8, B=1M), each costing two (B,)-u32
+        ``psum``s over ICI. The replicated engine's host-driven
+        compaction (search.backtrace_all) cannot run here because the
+        owning shard of each position changes every step and compaction
+        would have to re-shard mid-walk. This mode exists for indexes
+        too big for one chip's HBM; route locate-heavy workloads to the
+        replicated engine whenever the index fits (parallel/dist.py).
+        """
         n = len(bwt_positions)
         if n == 0:
             return np.empty(0, dtype=np.uint64)

@@ -36,6 +36,7 @@ from .models import alphabet as alpha
 from .models.config import AlphabetType
 from .models.index import DeviceIndex, FmIndex
 from .ops import rank as rank_ops
+from .ops import bt_digram as bt_ops
 
 _BACKTRACE_CHUNK = 1 << 16
 
@@ -436,8 +437,69 @@ def _fuse_backtrace() -> int:
     return max(1, int(os.environ.get("AWFM_FUSE_BACKTRACE", "8")))
 
 
-def _backtrace_steps_any(dev, p, off, n_steps):
-    """n_steps masked LF steps; fused per-dispatch groups on remote TPU."""
+# -- pair-LF backtrace (two LF steps per gather; ops/bt_digram.py) ----------
+
+def _pair_step_body(bt, p, off, ratio_u):
+    """One masked pair step: advance to LF(p) if sampled there, else
+    LF2(p) — the exact two-iteration unroll of the reference walk
+    (stop checks in chain order: p, LF(p), then continue from LF2(p))."""
+    done = (p % ratio_u) == 0
+    lf1, lf2 = bt_ops.pair_lf_at(bt, p)
+    take1 = (lf1 % ratio_u) == 0
+    p2 = jnp.where(take1, lf1, lf2)
+    o2 = jnp.where(take1, off + jnp.uint32(1), off + jnp.uint32(2))
+    return jnp.where(done, p, p2), jnp.where(done, off, o2)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "n_steps"))
+def _backtrace_pair_steps(bt, p, off, *, ratio, n_steps):
+    """n_steps masked pair steps (fixed-trip scan; CPU path)."""
+    ratio_u = jnp.uint32(ratio)
+
+    def step(carry, _):
+        return _pair_step_body(bt, *carry, ratio_u), None
+
+    (p, off), _ = jax.lax.scan(step, (p, off), None, length=n_steps)
+    return p, off
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "seg"))
+def _backtrace_pair_steps_fused(bt, p, off, *, ratio, seg):
+    """`seg` masked pair steps in one program (step-loop variant)."""
+    ratio_u = jnp.uint32(ratio)
+    for _ in range(seg):
+        p, off = _pair_step_body(bt, p, off, ratio_u)
+    return p, off
+
+
+def _fuse_backtrace_pair() -> int:
+    """Pair steps fused per dispatched program (2 LF steps each)."""
+    import os
+
+    return max(1, int(os.environ.get("AWFM_FUSE_BACKTRACE_PAIR", "4")))
+
+
+def _backtrace_steps_any(dev, p, off, n_steps, bt=None):
+    """n_steps masked LF steps; fused per-dispatch groups on remote TPU.
+
+    With a BacktraceDigramIndex (``bt``), executes ceil(n/2) pair steps —
+    covering at least n_steps LF steps; overshooting is harmless because
+    done rows never move."""
+    if bt is not None:
+        pair_steps = (n_steps + 1) // 2
+        if _use_step_loop():
+            fuse = _fuse_backtrace_pair()
+            done_steps = 0
+            while done_steps < pair_steps:
+                seg = min(fuse, pair_steps - done_steps)
+                p, off = _backtrace_pair_steps_fused(
+                    bt, p, off, ratio=dev.ratio, seg=seg
+                )
+                done_steps += seg
+            return p, off
+        return _backtrace_pair_steps(
+            bt, p, off, ratio=dev.ratio, n_steps=pair_steps
+        )
     if _use_step_loop():
         fuse = _fuse_backtrace()
         done_steps = 0
@@ -467,23 +529,62 @@ def _scatter_back(p, off, idx, sub_p, sub_off):
     return p.at[idx].set(sub_p), off.at[idx].set(sub_off)
 
 
-def backtrace_all(dev, positions):
+@jax.jit
+def _backtrace_to_sampled_carry(dev, p, off):
+    """Masked while_loop finisher carrying existing offsets.
+
+    On-device and sync-free; exits after ONE cond eval (no gathers)
+    when every row is already sampled."""
+    ratio_u = jnp.uint32(dev.ratio)
+
+    def cond(state):
+        pp, _ = state
+        return ~jnp.all((pp % ratio_u) == 0)
+
+    def body(state):
+        pp, oo = state
+        done = (pp % ratio_u) == 0
+        _, lf = rank_ops.letter_and_lf_at(dev, pp)
+        return (
+            jnp.where(done, pp, lf),
+            jnp.where(done, oo, oo + jnp.uint32(1)),
+        )
+
+    return jax.lax.while_loop(cond, body, (p, off))
+
+
+def backtrace_all(dev, positions, bt=None):
     """Backtrace a device batch to sampled positions: (p, off).
 
     Expected chain length is ~ratio but the max over a large batch is
     ~ratio*ln(B); a plain masked while_loop therefore pays ~10x the
-    useful work re-scanning finished rows. This driver runs one
-    ratio-step pass over the full batch (undone fraction afterwards
-    ~(1-1/r)^r ~ 34%), then SYNC-FREE compaction rounds of ratio more
-    steps each, with round sizes on a fixed 1/3-shrink schedule
-    (measured per-round survival (7/8)^8 ~ 0.34 for ratio 8, plus
-    slack). The statistical sizes may leave correlated stragglers
-    uncompacted; the exact synced tail loop finishes them.
+    useful work re-scanning finished rows, while fixed full-batch passes
+    overshoot for the ~34% of rows that survive the first ratio steps.
 
-    Schedule A/B on v5e, 1M post-seed positions incl. resolve
-    (experiments/ab_r2_backtrace_results.txt): this schedule 0.317 s
-    vs 0.344 (synced-exact rounds of 16) / 0.358 (one 32-step pass) /
-    0.417 (4-step segments, 5/8 shrink).
+    This driver is fully SYNC-FREE (measured on v5e: one scalar readback
+    costs ~30 ms — more than the entire 8-step LF pass over 1M rows, so
+    the schedule must never consult undone counts on the host):
+
+      1. one ratio-step masked pass over the full batch
+         (survival ~(1-1/r)^r ~ 34%);
+      2. NESTED compaction: gather the statistically-sized undone set
+         (45% + slack per level — binomial 3-sigma at these sizes is
+         <1%), walk ratio more steps, and keep compacting the COMPACTED
+         array — unlike scatter-every-round scheduling, the O(B)
+         nonzero cost shrinks with each level (measured 22 ms per
+         full-batch nonzero vs 30 ms for the whole 8-step first pass:
+         experiments/ab_r2_btsched_results.txt);
+      3. the <4096 stragglers finish in an on-device masked while_loop;
+      4. scatter each level back into its parent, innermost first;
+      5. a final full-batch while_loop guarantees exactness against
+         statistical truncation at any level — when nothing was
+         truncated (the overwhelming case) it exits after one
+         gather-free cond eval.
+
+    ``bt``: optional pair-LF rows (ops/bt_digram.py) halving the gathers
+    per level — a measured LOSS at cache-friendly index sizes (the pair
+    kernel is VPU-bound: experiments/ab_r2_btsched_results.txt), opt-in
+    for gather-bound genome-scale indexes.
     """
     if dev.ratio == 1:
         # every BWT position is sampled: nothing to walk
@@ -491,27 +592,24 @@ def backtrace_all(dev, positions):
     b = positions.shape[0]
     seg = dev.ratio
     zeros = jnp.zeros_like(positions)
-    p, off = _backtrace_steps_any(dev, positions, zeros, seg)
-    m = (b * 45) // 100  # survival after `seg` steps ~(1-1/r)^r + slack
-    while m >= 4096:
-        m = _round_up(m, 256)
-        idx, sub_p, sub_off = _gather_undone(dev, p, off, m=m)
-        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, seg)
-        p, off = _scatter_back(p, off, idx, sub_p, sub_off)
-        m = m // 3
-    tail_steps = min(64, max(8, 2 * dev.ratio))
-    while True:
-        cnt = int(np.asarray(_undone_count(dev, p)))
-        if cnt == 0:
-            return p, off
-        m = _round_up_pow2(cnt, floor=256)
-        if m >= p.shape[0]:
-            p, off = _backtrace_steps_any(dev, p, off, tail_steps)
-            continue
-        idx, sub_p, sub_off = _gather_undone(dev, p, off, m=m)
-        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, tail_steps)
-        p, off = _scatter_back(p, off, idx, sub_p, sub_off)
-
+    p, off = _backtrace_steps_any(dev, positions, zeros, seg, bt)
+    # nested compaction levels (survival after `seg` steps ~(1-1/r)^r)
+    levels = []
+    cur_p, cur_off = p, off
+    m = _round_up((b * 45) // 100, 256)
+    while m >= 4096 and m < cur_p.shape[0]:
+        idx, sub_p, sub_off = _gather_undone(dev, cur_p, cur_off, m=m)
+        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, seg, bt)
+        levels.append((idx, cur_p, cur_off))
+        cur_p, cur_off = sub_p, sub_off
+        m = _round_up((m * 45) // 100, 256)
+    cur_p, cur_off = _backtrace_to_sampled_carry(dev, cur_p, cur_off)
+    for idx, par_p, par_off in reversed(levels):
+        cur_p, cur_off = _scatter_back(par_p, par_off, idx, cur_p, cur_off)
+    if levels:
+        # exactness net for statistical truncation; ~free when unneeded
+        cur_p, cur_off = _backtrace_to_sampled_carry(dev, cur_p, cur_off)
+    return cur_p, cur_off
 
 @jax.jit
 def _resolve_samples(dev, p, off):
@@ -573,17 +671,18 @@ def enumerate_range_positions(start, end, *, capacity):
     return pos, jnp.where(mask, qid, jnp.int32(0)), mask
 
 
-def locate_flat_device(dev, start, end, *, capacity):
+def locate_flat_device(dev, start, end, *, capacity, bt=None):
     """Full-hit-list locate staying on device end to end.
 
     enumerate -> compacting backtrace -> sampled-SA resolve; the
     device-batched equivalent of AwFmParallelSearch.c:315-365 over every
     position of every range. Returns (hits, query_ids, valid_mask), each
     (capacity,) on device; masked-off entries resolve position 0 and
-    must be ignored.
+    must be ignored. ``bt``: optional pair-LF rows (ops/bt_digram.py)
+    halving the backtrace gathers.
     """
     pos, qid, mask = enumerate_range_positions(start, end, capacity=capacity)
-    p, off = backtrace_all(dev, pos)
+    p, off = backtrace_all(dev, pos, bt)
     return _resolve_samples(dev, p, off), qid, mask
 
 
@@ -608,6 +707,33 @@ class SearchEngine:
             if self.dev.alphabet == AlphabetType.AMINO
             else alpha.NT_ASCII_TO_INDEX
         )
+        self._bt_cache = None
+
+    def _bt_digram(self):
+        """Lazily built pair-LF backtrace rows (ops/bt_digram.py).
+
+        OPT-IN via AWFM_BT_DIGRAM=1 (nucleotide + uint32 capacity only;
+        needs the host BWT to build). Halves the LF-walk gathers but the
+        pair kernel is VPU-bound and measured SLOWER at cache-friendly
+        index sizes (experiments/ab_r2_btsched_results.txt); it exists
+        for gather-bound genome-scale locate workloads. Results are
+        bit-identical either way."""
+        import os
+
+        if (
+            self.wide
+            or self.host_index is None
+            or self.dev.alphabet == AlphabetType.AMINO
+            or os.environ.get("AWFM_BT_DIGRAM", "0") != "1"
+        ):
+            return None
+        if self._bt_cache is None:
+            from .ops import bt_digram
+
+            self._bt_cache = bt_digram.build_backtrace_digram_device(
+                self.host_index
+            )
+        return self._bt_cache
 
     # -- encoding -----------------------------------------------------------
 
@@ -796,12 +922,13 @@ class SearchEngine:
                     "suffix array not in memory and no backing file to read "
                     "from (build or load the index with a file_src)"
                 )
+        bt = self._bt_digram()
         for lo in range(0, n, chunk):
             part = bwt_positions[lo : lo + chunk]
             pad_n = _round_up_pow2(len(part))
             padded = np.zeros(pad_n, dtype=np.uint32)
             padded[: len(part)] = part.astype(np.uint32)
-            p, off = backtrace_all(dev, jnp.asarray(padded))
+            p, off = backtrace_all(dev, jnp.asarray(padded), bt)
             if sa_on_disk:
                 hits = self._resolve_from_file(
                     np.asarray(p[: len(part)]), np.asarray(off[: len(part)])

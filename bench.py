@@ -172,11 +172,12 @@ def main():
     count2_qps = NUM_QUERIES / med
 
     # locate (first hit): resolve the range start of every query — the
-    # per-hit backtrace cost in isolation.
+    # per-hit backtrace cost in isolation. Locate stages use the
+    # single-letter seeded ranges: measured faster than digram ranges in
+    # this pipeline (no pair-window fixup readback; 0.396 vs 0.435 s
+    # e2e — experiments/ab_r2_btnested_results.txt).
     def locate_step(cm):
-        s, e = _ngram_ranges_steploop(
-            dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
-        )
+        s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True)
         valid = s <= e
         pos = jnp.where(valid, s, jnp.uint32(0))
         p, off = backtrace_all(dev, pos)
@@ -200,9 +201,7 @@ def main():
     chunk_ranges = []
     total_hits = 0
     for cm in chunks:
-        s, e = _ngram_ranges_steploop(
-            dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
-        )
+        s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True)
         chunk_ranges.append((s, e))
         total_hits += int(np.asarray(_total_hits(s, e)))
     cap = _round_up(
@@ -213,9 +212,7 @@ def main():
     def run_locate_all():
         total = jnp.uint32(0)
         for cm in chunks:
-            s, e = _ngram_ranges_steploop(
-                dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
-            )
+            s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True)
             hits, _qid, mask = locate_flat_device(dev, s, e, capacity=cap)
             total = total + hits[0]
         _ = int(np.asarray(total))
