@@ -70,7 +70,7 @@ class NgramIndex:
     table is resident.
     """
 
-    packed: object  # (num_blocks, pair_row_bytes/4) uint32 words
+    packed: object  # (num_blocks, pair_row_bytes) uint8
     cn: object  # (4**n,) uint32: range start of each n-mer
     n: int  # static: letters per step
 
@@ -243,18 +243,18 @@ def pair_rows_from_ngram_blocks(packed: np.ndarray, n: int) -> np.ndarray:
 
 
 def build_ngram_device(index: FmIndex, n: int) -> NgramIndex:
+    # Rows stay uint8 lanes: a u32-word variant of this table (isolated
+    # A/B +7%, experiments/ab_r2_u32rank_results.txt) measured 1.6x
+    # SLOWER end-to-end in bench.py's digram count (7.05M -> 4.3-4.5M
+    # q/s medians across two runs each way) and was reverted — the
+    # micro-bench's cache state did not transfer to the full pipeline.
     codes, cn = build_ngram_host(index, n)
     blocks = pack_ngram_blocks(codes, n)
     del codes
     pair = pair_rows_from_ngram_blocks(blocks, n)
     del blocks
-    # rows are stored AS u32 words: the VPU's native 32-bit lanes make
-    # the match/mask/popcount pipeline 4x denser than u8 lanes, and at
-    # >= 96 words/row the u32 gather runs at the u8 rate (measured +7%
-    # end-to-end; experiments/ab_r2_u32rank_results.txt). Little-endian
-    # view keeps bit positions identical.
     return NgramIndex(
-        packed=jnp.asarray(pair.view("<u4").reshape(pair.shape[0], -1)),
+        packed=jnp.asarray(pair),
         cn=jnp.asarray(cn.astype(np.uint32)),
         n=n,
     )
@@ -275,42 +275,40 @@ def _word_value(letter_list):
     return v
 
 
-_PAIR_WORD_IOTA = np.arange(16, dtype=np.int32)  # u32 words per plane
+_PAIR_IOTA = np.arange(64, dtype=np.int32)
 
 
 def _pair_match(ng: NgramIndex, rows, v):
-    """(B, 16) uint32 match bits for word value v over a pair row.
-
-    Rows arrive as u32 words (16 per 512-position plane); all bitwise
-    identities carry over from the byte formulation unchanged."""
+    """(B, 64) uint8 match bits for word value v over a pair row."""
     _, _, n_planes, _, _ = _geometry_pair(ng.n)
+    full = jnp.uint8(0xFF)
     diff = None
     for i in range(n_planes):
-        m = jnp.where(
-            ((v >> i) & 1) == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
-        )
-        x = rows[:, i * 16 : (i + 1) * 16] ^ m[:, None]
+        m = ((v >> i) & 1).astype(jnp.uint8) * full
+        x = rows[:, i * 64 : (i + 1) * 64] ^ m[:, None]
         diff = x if diff is None else (diff | x)
     return ~diff
 
 
 def _pair_mask(local):
-    """(B, 16) uint32 inclusive mask, local in [0, 512)."""
-    word_idx = (local >> 5)[:, None]
-    bit = (local & 31)[:, None].astype(jnp.uint32)
-    # 2 << 31 wraps to 0 in uint32, making the boundary mask all-ones
-    low = (jnp.uint32(2) << bit) - jnp.uint32(1)
-    w = _PAIR_WORD_IOTA[None, :]
+    """(B, 64) uint8 inclusive mask, local in [0, 512)."""
+    byte_idx = (local >> 3)[:, None]
+    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
+    low = (jnp.uint8(2) << bit_idx) - jnp.uint8(1)
+    b = _PAIR_IOTA[None, :]
     return jnp.where(
-        w < word_idx,
-        jnp.uint32(0xFFFFFFFF),
-        jnp.where(w == word_idx, low, jnp.uint32(0)),
+        b < byte_idx,
+        jnp.uint8(0xFF),
+        jnp.where(b == byte_idx, low, jnp.uint8(0)),
     )
 
 
 def _pair_milestone(ng: NgramIndex, rows, v):
     n_words, _, _, ms_offset, _ = _geometry_pair(ng.n)
-    ms_all = rows[:, ms_offset // 4 : ms_offset // 4 + n_words]
+    ms_all = lax.bitcast_convert_type(
+        rows[:, ms_offset : ms_offset + n_words * 4].reshape(-1, n_words, 4),
+        jnp.uint32,
+    )
     ms = jnp.zeros(v.shape, dtype=jnp.uint32)
     for j in range(n_words):
         ms = ms + jnp.where(v == j, ms_all[:, j], jnp.uint32(0))
