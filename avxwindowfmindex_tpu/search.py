@@ -208,7 +208,7 @@ def _use_pair_rows(dev) -> bool:
 
 
 def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool,
-                     put=None):
+                     put=None, defer=None):
     """Host-driven extension loop; bit-identical to the scan kernels.
 
     ``put`` maps host arrays onto the device(s); pass a sharding
@@ -224,7 +224,7 @@ def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool,
     classic step.
     """
     if seeded and _use_pair_rows(dev):
-        return _ranges_steploop_pair(dev, mat, lengths, put)
+        return _ranges_steploop_pair(dev, mat, lengths, put, defer)
     return _ranges_steploop_classic(dev, mat, lengths, seeded, put)
 
 
@@ -311,7 +311,8 @@ def _ranges_steploop_classic(dev, mat: np.ndarray, lengths: np.ndarray,
     return start, end
 
 
-def _ranges_steploop_pair(dev, mat: np.ndarray, lengths: np.ndarray, put=None):
+def _ranges_steploop_pair(dev, mat: np.ndarray, lengths: np.ndarray, put=None,
+                          defer=None):
     """Seeded extension with one-gather pair steps + flagged re-runs."""
     if put is None:
         put = jnp.asarray
@@ -332,18 +333,37 @@ def _ranges_steploop_pair(dev, mat: np.ndarray, lengths: np.ndarray, put=None):
         lambda sub_mat, sub_len: _ranges_steploop_classic(
             dev, sub_mat, sub_len, True, put
         ),
+        defer,
     )
 
 
-def _fixup_flagged(dev, mat, lengths, start, end, bad, classic_fn):
+def _fixup_flagged(dev, mat, lengths, start, end, bad, classic_fn,
+                   defer=None):
     """Re-run flagged queries through an exact classic path.
 
     ONE scalar readback when nothing flagged (the common case); else the
     flagged indices are compacted on device and only those few int32s
     cross to the host (bulk device->host is the expensive direction).
+
+    ``defer``: optional list. When given, the readback is NOT performed
+    here; ``(flag_count_device_scalar, redo_fn)`` is appended and the
+    SPECULATIVE ranges are returned so the caller can keep enqueueing
+    dependent device work and fold the flag check into its own final
+    readback — a host sync costs ~30 ms through tunneled runtimes, more
+    than an entire 8-step LF pass over 1M rows. On the rare flagged
+    batch the caller must call ``redo_fn()`` (returns exact ranges) and
+    recompute dependents.
     """
     from .utils import metrics
 
+    if defer is not None:
+        defer.append((
+            _flag_count(bad),
+            lambda: _fixup_flagged(
+                dev, mat, lengths, start, end, bad, classic_fn
+            ),
+        ))
+        return start, end
     cnt = int(np.asarray(_flag_count(bad)))
     if cnt:
         metrics.counter("search.pair_fixup.flagged").add(cnt)
@@ -1033,7 +1053,7 @@ def _fuse_ngram() -> int:
     return max(1, int(os.environ.get("AWFM_FUSE_NGRAM", "1")))
 
 
-def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
+def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k, defer=None):
     """Host-driven n-step loop over a uniform-length clean batch.
 
     floor(m/n) n-gram steps right-to-left (static columns), then the
@@ -1085,6 +1105,7 @@ def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k):
         lambda sub_mat, sub_len: _ngram_ranges_classic(
             dev, ng, sub_mat, kmer_len=kmer_len, seed_k=seed_k
         ),
+        defer,
     )
 
 

@@ -145,28 +145,51 @@ def main():
     _log(f"query upload: {upload_s:.2f}s for {NUM_QUERIES} kmers")
     chunk_len = np.full(chunk_q, KMER_LEN, dtype=np.int32)
 
-    def run_count():
+    def _finish(total, pend, redo_fn):
+        """ONE combined readback of the result + all deferred pair-window
+        flag counts; a flagged batch (rare: ranges wider than 512 mid-
+        extension) falls back to the exact synchronous formulation."""
+        vals = np.asarray(
+            jnp.concatenate(
+                [total[None]] + [c[None].astype(jnp.uint32) for c, _ in pend]
+            )
+        )
+        if len(vals) > 1 and vals[1:].any():
+            _log("pair-window flags present; re-running stage exactly")
+            redo_fn()
+
+    def run_count(defer=True):
         total = jnp.uint32(0)
+        pend = []
         for cm in chunks:
-            s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True)
+            s, e = _ranges_steploop(
+                dev, cm, chunk_len, seeded=True, defer=pend if defer else None
+            )
             counts = jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0))
             total = total + counts[0]
-        # scalar readback forces true completion of the whole chain
-        _ = int(np.asarray(total))
+        if not defer:
+            _ = int(np.asarray(total))
+            return
+        _finish(total, pend, lambda: run_count(defer=False))
 
     med, count_times = _time_stage("count_step", run_count)
     count_qps = NUM_QUERIES / med
 
     # double-step (digram) count: two letters per gather
-    def run_count2():
+    def run_count2(defer=True):
         total = jnp.uint32(0)
+        pend = []
         for cm in chunks:
             s, e = _ngram_ranges_steploop(
-                dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
+                dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K,
+                defer=pend if defer else None,
             )
             c = jnp.where(s <= e, e - s + jnp.uint32(1), jnp.uint32(0))
             total = total + c[0]
-        _ = int(np.asarray(total))
+        if not defer:
+            _ = int(np.asarray(total))
+            return
+        _finish(total, pend, lambda: run_count2(defer=False))
 
     med, count2_times = _time_stage("digram_count", run_count2)
     count2_qps = NUM_QUERIES / med
@@ -176,20 +199,24 @@ def main():
     # single-letter seeded ranges: measured faster than digram ranges in
     # this pipeline (no pair-window fixup readback; 0.396 vs 0.435 s
     # e2e — experiments/ab_r2_btnested_results.txt).
-    def locate_step(cm):
-        s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True)
+    def locate_step(cm, pend):
+        s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True, defer=pend)
         valid = s <= e
         pos = jnp.where(valid, s, jnp.uint32(0))
         p, off = backtrace_all(dev, pos)
         hits = _resolve_samples(dev, p, off)
         return jnp.where(valid, hits, jnp.uint32(0))
 
-    def run_locate():
+    def run_locate(defer=True):
         total = jnp.uint32(0)
+        pend = []
         for cm in chunks:
-            hits = locate_step(cm)
+            hits = locate_step(cm, pend if defer else None)
             total = total + hits[0]
-        _ = int(np.asarray(total))
+        if not defer:
+            _ = int(np.asarray(total))
+            return
+        _finish(total, pend, lambda: run_locate(defer=False))
 
     med, locate_times = _time_stage("locate_first_hit", run_locate)
     locate_qps = NUM_QUERIES / med
@@ -209,13 +236,19 @@ def main():
     )
     _log(f"total hits {total_hits} over {NUM_QUERIES} queries; capacity {cap}")
 
-    def run_locate_all():
+    def run_locate_all(defer=True):
         total = jnp.uint32(0)
+        pend = []
         for cm in chunks:
-            s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True)
+            s, e = _ranges_steploop(
+                dev, cm, chunk_len, seeded=True, defer=pend if defer else None
+            )
             hits, _qid, mask = locate_flat_device(dev, s, e, capacity=cap)
             total = total + hits[0]
-        _ = int(np.asarray(total))
+        if not defer:
+            _ = int(np.asarray(total))
+            return
+        _finish(total, pend, lambda: run_locate_all(defer=False))
 
     med, locate_all_times = _time_stage("locate_all", run_locate_all)
     locate_all_qps = NUM_QUERIES / med

@@ -63,11 +63,11 @@ def test_pair_step_flags_and_fixup(rng, steploop, monkeypatch):
     fired = []
     real_fixup = search_mod._fixup_flagged
 
-    def spy(dev, mat, lengths, start, end, bad, classic_fn):
+    def spy(dev, mat, lengths, start, end, bad, classic_fn, defer=None):
         import numpy as _np
 
         fired.append(int(_np.asarray(search_mod._flag_count(bad))))
-        return real_fixup(dev, mat, lengths, start, end, bad, classic_fn)
+        return real_fixup(dev, mat, lengths, start, end, bad, classic_fn, defer)
 
     monkeypatch.setattr(search_mod, "_fixup_flagged", spy)
     # poly-A kmers keep ranges wide through MANY steps -> flags fire
@@ -153,3 +153,35 @@ def test_pair_single_position_rank_matches_classic(rng):
     a = rank_ops.occurrence(dev, positions, letts)
     b = rank_ops.pair_occurrence_single(dev, positions, letts)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_deferred_fixup_exactness(rng, steploop):
+    """defer=pend returns speculative ranges + a redo closure; the redo
+    must deliver the exact two-gather answer for flagged batches."""
+    seq = _repeat_rich_sequence(rng, 6000)
+    index = create_index(seq, _cfg(k=2))
+    eng = SearchEngine(index)
+    kmers = [b"AAAA", b"AAAAAAA", b"AAAAAAAAAA", b"ACAAAAAT"] * 8
+    mat, lengths, n = eng.encode_kmers(kmers)
+    pend = []
+    s_spec, e_spec = search_mod._ranges_steploop(
+        eng.dev, mat, lengths, seeded=True, defer=pend
+    )
+    assert len(pend) == 1
+    flag_count, redo = pend[0]
+    assert int(np.asarray(flag_count)) > 0  # adversarial corpus flags
+    s_exact, e_exact = redo()
+    want = eng.find_ranges(kmers)  # synchronous (fixed-up) path
+    np.testing.assert_array_equal(np.asarray(s_exact)[:n], want[:, 0])
+    np.testing.assert_array_equal(np.asarray(e_exact)[:n], want[:, 1])
+    # unflagged batch: speculative ranges are already exact, no redo
+    clean = [random_kmer(rng, 8, AlphabetType.DNA) for _ in range(32)]
+    mat2, lengths2, n2 = eng.encode_kmers(clean)
+    pend2 = []
+    s2, e2 = search_mod._ranges_steploop(
+        eng.dev, mat2, lengths2, seeded=True, defer=pend2
+    )
+    if pend2 and int(np.asarray(pend2[0][0])) == 0:
+        want2 = eng.find_ranges(clean)
+        np.testing.assert_array_equal(np.asarray(s2)[:n2], want2[:, 0])
+        np.testing.assert_array_equal(np.asarray(e2)[:n2], want2[:, 1])
