@@ -124,3 +124,31 @@ def test_steploop_backtrace_fused_matches(rng, monkeypatch):
     for kmer, h in zip(kmers, hits):
         want = match_positions(seq, kmer, AlphabetType.DNA)
         np.testing.assert_array_equal(np.sort(h.astype(np.int64)), want)
+
+
+@pytest.mark.parametrize("use_bt", [False, True])
+def test_backtrace_truncation_net(rng, use_bt):
+    """Correlated stragglers can exceed a compaction level's statistical
+    size (duplicated positions walk in lock-step); the final full-batch
+    while_loop net must finish the truncated remainder exactly."""
+    import jax.numpy as jnp
+
+    import avxwindowfmindex_tpu.search as search_mod
+    from avxwindowfmindex_tpu.ops import bt_digram
+
+    seq = random_sequence(rng, 3000, AlphabetType.DNA)
+    index = create_index(seq, _cfg(AlphabetType.DNA, ratio=8))
+    dev = index.to_device()
+    bt = bt_digram.build_backtrace_digram_device(index) if use_bt else None
+    # find a position whose chain outlives the first ratio-step pass
+    all_p = jnp.arange(index.bwt_length, dtype=jnp.uint32)
+    _, offs = search_mod.backtrace_all(dev, all_p)
+    deep = int(np.asarray(jnp.argmax(offs)))
+    assert int(np.asarray(offs[deep])) > 8
+    want_p, want_off = search_mod.backtrace_all(
+        dev, jnp.full((16,), np.uint32(deep))
+    )
+    b = 16384  # big enough for one compaction level (m=7424 < undone)
+    p, off = search_mod.backtrace_all(dev, jnp.full((b,), np.uint32(deep)), bt)
+    assert (np.asarray(p) == int(np.asarray(want_p[0]))).all()
+    assert (np.asarray(off) == int(np.asarray(want_off[0]))).all()
