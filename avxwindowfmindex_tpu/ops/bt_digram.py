@@ -49,7 +49,7 @@ from jax import lax
 
 from ..models.config import AlphabetType
 from ..models.index import FmIndex, POSITIONS_PER_BLOCK, num_blocks_from_bwt_length
-from .ngram import _lf_array
+from .ngram import _HOST_CHUNK, _lf_array, _letter_counts_before
 
 N_PLANES = 6
 N_CODES = 48  # stride-8 code space; 36 slots used
@@ -81,34 +81,6 @@ jax.tree_util.register_dataclass(
     BacktraceDigramIndex, data_fields=["packed", "c1k"], meta_fields=[]
 )
 
-_HOST_CHUNK = 1 << 26
-
-
-def _letter_counts_before(bwt: np.ndarray, bounds, n_letters: int) -> np.ndarray:
-    """out[x, i] = #{p < bounds[i] : bwt[p] == x} for x in [0, n_letters).
-
-    One chunked pass (genome-scale safe), same approach as
-    ngram._letter_counts_before but over the full letter set."""
-    bounds = np.asarray(bounds, dtype=np.int64)
-    order = np.argsort(bounds, kind="stable")
-    out = np.zeros((n_letters, len(bounds)), dtype=np.int64)
-    running = np.zeros(n_letters, dtype=np.int64)
-    bi = 0
-    n = len(bwt)
-    for lo in range(0, n, _HOST_CHUNK):
-        hi = min(lo + _HOST_CHUNK, n)
-        while bi < len(order) and bounds[order[bi]] <= hi:
-            b = int(bounds[order[bi]])
-            out[:, order[bi]] = running + np.bincount(
-                bwt[lo:b], minlength=8
-            )[:n_letters]
-            bi += 1
-        if bi == len(order):
-            break
-        running += np.bincount(bwt[lo:hi], minlength=8)[:n_letters]
-    return out
-
-
 def build_backtrace_digram_host(index: FmIndex):
     """(codes, c2): per-position pair codes and word range starts.
 
@@ -132,7 +104,7 @@ def build_backtrace_digram_host(index: FmIndex):
 
     ps = index.prefix_sums.astype(np.int64)
     thresholds = [int(ps[l1]) for l1 in range(sentinel)] + [0]  # S(l1)
-    occ = _letter_counts_before(bwt, thresholds, sentinel)  # letters 0..4
+    occ = _letter_counts_before(bwt, thresholds, n_letters=sentinel)
     c2 = np.zeros(N_CODES, dtype=np.uint64)
     for l2 in range(sentinel):  # sentinel-l2 words are forced to 0 on device
         for l1 in range(sentinel + 1):

@@ -114,17 +114,20 @@ def _lf_array(index: FmIndex) -> np.ndarray:
     return lf
 
 
-def _letter_counts_before(bwt: np.ndarray, bounds: np.ndarray) -> np.ndarray:
-    """occ matrix: out[x, i] = #{p < bounds[i] : bwt[p] == x}, x in 0..3.
+def _letter_counts_before(bwt: np.ndarray, bounds: np.ndarray,
+                          n_letters: int = 4) -> np.ndarray:
+    """occ matrix: out[x, i] = #{p < bounds[i] : bwt[p] == x},
+    x in [0, n_letters).
 
     One chunked pass over the BWT; replaces per-letter position lists
     (which together hold the whole index as int64 — ~25 GB at hg38
-    scale) for the handful of thresholds the Cn fold needs.
+    scale) for the handful of thresholds the Cn fold needs. Also used
+    by ops/bt_digram.py with the full letter set.
     """
     bounds = np.asarray(bounds, dtype=np.int64)
     order = np.argsort(bounds, kind="stable")
-    out = np.zeros((4, len(bounds)), dtype=np.int64)
-    running = np.zeros(4, dtype=np.int64)
+    out = np.zeros((n_letters, len(bounds)), dtype=np.int64)
+    running = np.zeros(n_letters, dtype=np.int64)
     bi = 0
     n = len(bwt)
     for lo in range(0, n, _HOST_CHUNK):
@@ -133,11 +136,11 @@ def _letter_counts_before(bwt: np.ndarray, bounds: np.ndarray) -> np.ndarray:
             b = int(bounds[order[bi]])
             out[:, order[bi]] = running + np.bincount(
                 bwt[lo:b], minlength=8
-            )[:4]
+            )[:n_letters]
             bi += 1
         if bi == len(order):
             break
-        running += np.bincount(bwt[lo:hi], minlength=8)[:4]
+        running += np.bincount(bwt[lo:hi], minlength=8)[:n_letters]
     return out
 
 
