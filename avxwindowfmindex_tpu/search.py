@@ -962,9 +962,16 @@ class SearchEngine:
         return out
 
     def _resolve_from_file(self, sampled_positions, offsets) -> np.ndarray:
-        """Resolve sampled-SA values by reading the index file per hit —
-        the on-disk suffix-array mode (awFmGetSuffixArrayValueFromFile,
-        AwFmFile.c:484-522; applied at AwFmSuffixArray.c:192-202)."""
+        """Resolve sampled-SA values from the index file — the on-disk
+        suffix-array mode (awFmGetSuffixArrayValueFromFile,
+        AwFmFile.c:484-522; applied at AwFmSuffixArray.c:192-202).
+
+        Semantics are the reference's per-hit <=9-byte read, but executed
+        as ONE vectorized gather over a read-only memmap of the packed-SA
+        region: the OS page cache keeps only touched pages resident (the
+        point of disk residency stands), while Python-loop overhead —
+        ~10^3x the C pread it replaces — disappears. Falls back to the
+        per-hit reader if the file cannot be memory-mapped."""
         from . import suffix_array as sa_mod
         from .io import awfmi
 
@@ -975,14 +982,40 @@ class SearchEngine:
         )
         bwt_length = index.bwt_length
         ratio = self.dev.ratio
-        out = np.empty(len(sampled_positions), dtype=np.uint64)
-        with open(index.file_path, "rb") as fh:
-            for i, (p, off) in enumerate(zip(sampled_positions, offsets)):
-                val = sa_mod.read_packed_value_from_file(
-                    fh, file_offset, width, int(p) // ratio
-                )
-                out[i] = (val + int(off)) % bwt_length
-        return out
+        sample_idx = np.asarray(sampled_positions, dtype=np.uint64) // np.uint64(
+            ratio
+        )
+        offsets = np.asarray(offsets, dtype=np.uint64)
+        try:
+            region_len = sa_mod.compressed_sa_size_in_bytes(bwt_length, ratio)
+            mm = np.memmap(
+                index.file_path, mode="r", offset=file_offset,
+                shape=(region_len,), dtype=np.uint8,
+            )
+        except (OSError, ValueError):
+            out = np.empty(len(sampled_positions), dtype=np.uint64)
+            with open(index.file_path, "rb") as fh:
+                for i, (si, off) in enumerate(zip(sample_idx, offsets)):
+                    val = sa_mod.read_packed_value_from_file(
+                        fh, file_offset, width, int(si)
+                    )
+                    out[i] = (val + int(off)) % bwt_length
+            return out
+        bit = sample_idx * np.uint64(width)
+        byte_off = (bit >> np.uint64(3)).astype(np.int64)
+        bit_off = (bit & np.uint64(7)).astype(np.uint64)
+        # gather 9 bytes per hit (max span of width<=57+7 bits; wider
+        # values reassemble from two u64 reads like AwFmFile.c:506-517)
+        spans = byte_off[:, None] + np.arange(9, dtype=np.int64)[None, :]
+        raw = np.asarray(mm[np.minimum(spans, region_len - 1)])
+        del mm
+        lo = raw[:, :8].copy().view("<u8")[:, 0] >> bit_off
+        keep_lo = np.minimum(np.uint64(64) - bit_off, np.uint64(63))
+        hi = raw[:, 8].astype(np.uint64) << keep_lo
+        hi = np.where(bit_off == 0, np.uint64(0), hi)  # the 9th byte only
+        # matters when bit_off > 0 (shift-by-64 would be undefined)
+        vals = (lo | hi) & ((np.uint64(1) << np.uint64(width)) - np.uint64(1))
+        return (vals + offsets) % np.uint64(bwt_length)
 
 
 # ---------------------------------------------------------------------------
