@@ -125,10 +125,23 @@ def pack_backtrace_blocks(codes: np.ndarray) -> np.ndarray:
         out[:, b * 32 : (b + 1) * 32] = np.packbits(
             bits, axis=1, bitorder="little"
         )
-    codes_mat = padded.reshape(nb, POSITIONS_PER_BLOCK)
-    counts = np.empty((nb, N_CODES), dtype=np.int64)
-    for w in range(N_CODES):
-        counts[:, w] = (codes_mat == w).sum(axis=1)
+    # one chunked bincount pass over (block, code) keys instead of 48
+    # full-array equality scans; uint64 accumulators, ~1/48th the memory
+    # traffic at the hg38-scale target
+    counts = np.zeros(nb * 64, dtype=np.int64)
+    for lo in range(0, nb * POSITIONS_PER_BLOCK, _HOST_CHUNK):
+        # chunks are whole blocks (_HOST_CHUNK % 256 == 0), so each
+        # bincount covers a contiguous (chunk_blocks, 64) slice — the
+        # temporary stays ~the chunk size, not nb*64
+        hi = min(lo + _HOST_CHUNK, nb * POSITIONS_PER_BLOCK)
+        keys = (np.arange(hi - lo, dtype=np.int64) >> 8) << 6
+        keys |= padded[lo:hi]
+        span = ((hi - lo) // POSITIONS_PER_BLOCK) * 64
+        counts[(lo >> 8) * 64 : (lo >> 8) * 64 + span] += np.bincount(
+            keys, minlength=span
+        )
+        del keys
+    counts = counts.reshape(nb, 64)[:, :N_CODES]
     cum = np.cumsum(counts, axis=0)
     milestones = np.zeros_like(cum)
     milestones[1:] = cum[:-1]
@@ -178,17 +191,17 @@ def _plane(rows, i):
     return rows[:, i * PLANE_WORDS : (i + 1) * PLANE_WORDS]
 
 
-def _match(rows, value, n_planes):
-    """(B, 8) uint32 match bits: positions whose low n_planes code bits
-    equal the per-row ``value``."""
+def _diff(rows, value, planes):
+    """(B, 8) uint32 accumulated XOR-diff over ``planes`` for the per-row
+    ``value``; zero bits mark matching positions (invert for match)."""
     diff = None
-    for i in range(n_planes):
+    for i in planes:
         m = jnp.where(
             ((value >> i) & 1) == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
         )
         x = _plane(rows, i) ^ m[:, None]
         diff = x if diff is None else (diff | x)
-    return ~diff
+    return diff
 
 
 def pair_lf_at(bt: BacktraceDigramIndex, positions, sentinel: int = 5):
@@ -220,15 +233,16 @@ def pair_lf_at(bt: BacktraceDigramIndex, positions, sentinel: int = 5):
     l2 = code >> 3
 
     mask = _inclusive_mask_u32(local)
+    # the low-3-plane diff serves BOTH matches (code's low bits are l1),
+    # so planes 0..2 are XOR/OR'd once, not twice — this kernel is
+    # VPU-bound and every plane pass counts
+    diff3 = _diff(rows, l1, range(3))
+    diff6 = diff3 | _diff(rows, code, range(3, N_PLANES))
     pc2 = jnp.sum(
-        lax.population_count(_match(rows, code, N_PLANES) & mask),
-        axis=1,
-        dtype=jnp.int32,
+        lax.population_count(~diff6 & mask), axis=1, dtype=jnp.int32
     ).astype(jnp.uint32)
     pc1 = jnp.sum(
-        lax.population_count(_match(rows, l1, 3) & mask),
-        axis=1,
-        dtype=jnp.int32,
+        lax.population_count(~diff3 & mask), axis=1, dtype=jnp.int32
     ).astype(jnp.uint32)
 
     # milestone selection as two masked (B, 48) reductions — per-column

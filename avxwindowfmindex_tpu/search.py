@@ -533,6 +533,8 @@ def _backtrace_steps_any(dev, p, off, n_steps, bt=None):
 
 @jax.jit
 def _undone_count(dev, p):
+    """Diagnostic/experiment helper (experiments/ab_r2_*.py schedules);
+    the production backtrace_all is sync-free and never consults it."""
     return jnp.sum((p % jnp.uint32(dev.ratio)) != 0, dtype=jnp.int32)
 
 
@@ -600,6 +602,14 @@ def backtrace_all(dev, positions, bt=None):
          statistical truncation at any level — when nothing was
          truncated (the overwhelming case) it exits after one
          gather-free cond eval.
+
+    Degenerate-case bound: truncation needs >45% of a level's rows to
+    survive `seg` more steps, i.e. heavily DUPLICATED positions walking
+    in lock-step (survival is binomial for distinct positions, and
+    locate's range enumeration produces distinct positions by
+    construction). If a caller does pass such a batch, the net finishes
+    it exactly at O(B) gathers per remaining LF step
+    (tests/test_locate.py::test_backtrace_truncation_net).
 
     ``bt``: optional pair-LF rows (ops/bt_digram.py) halving the gathers
     per level — a measured LOSS at cache-friendly index sizes (the pair
@@ -748,9 +758,7 @@ class SearchEngine:
         ):
             return None
         if self._bt_cache is None:
-            from .ops import bt_digram
-
-            self._bt_cache = bt_digram.build_backtrace_digram_device(
+            self._bt_cache = bt_ops.build_backtrace_digram_device(
                 self.host_index
             )
         return self._bt_cache
