@@ -1,11 +1,19 @@
 """Does the pair-LF backtrace win at gather-bound scale? (hg38, v5e)
 
 At 64M bases the tables are cache-assisted and the pair kernel's VPU
-cost loses (ab_r2_btsched). At 3.1G bases (~8 GB tables) gathers pay
-full HBM latency, which is exactly what halving the walk gathers
-targets. The digram SEARCH table is omitted (locate does not use it;
-single+pair+SA+seed+bt ~ 11 GB fits the 16 GB chip).
+cost loses (ab_r2_btsched). At genome scale gathers pay full HBM
+latency, which is exactly what halving the walk gathers targets.
+
+FINDING (first run): at the full 3.1G bases the resident tables
+(single 1.55 + pair 3.1 + SA 1.55 + seed 0.13 + bt 4.65 GB ~ 11 GB)
+plus the fused pair program's live gather intermediates exhaust the
+16 GB chip (RESOURCE_EXHAUSTED in _backtrace_pair_steps_fused) — the
+opt-in bt table cannot coexist with the full search table set at hg38
+scale on v5e; AWFM_BT_HG38_BASES defaults to 1.5G, still far past the
+cache-assist regime, to answer the gather-bound question.
 """
+
+import os
 
 import json
 import sys
@@ -25,7 +33,7 @@ from avxwindowfmindex_tpu.models import alphabet as alpha
 from avxwindowfmindex_tpu.ops import bt_digram
 from avxwindowfmindex_tpu import search as S
 
-NUM_BASES = 3_100_000_000
+NUM_BASES = int(os.environ.get("AWFM_BT_HG38_BASES", 1_500_000_000))
 Q = 1 << 20
 KMER_LEN = 25
 SEED_K = 12
