@@ -195,12 +195,13 @@ def main():
     count2_qps = NUM_QUERIES / med
 
     # locate (first hit): resolve the range start of every query — the
-    # per-hit backtrace cost in isolation. Locate stages use the
-    # single-letter seeded ranges: measured faster than digram ranges in
-    # this pipeline (no pair-window fixup readback; 0.396 vs 0.435 s
-    # e2e — experiments/ab_r2_btnested_results.txt).
+    # per-hit backtrace cost in isolation. Locate stages use digram
+    # ranges: with the fixup readback deferred they are the fastest
+    # range finder again (0.126 vs 0.159 s per 1M in run6).
     def locate_step(cm, pend):
-        s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True, defer=pend)
+        s, e = _ngram_ranges_steploop(
+            dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K, defer=pend
+        )
         valid = s <= e
         pos = jnp.where(valid, s, jnp.uint32(0))
         p, off = backtrace_all(dev, pos)
@@ -228,7 +229,9 @@ def main():
     chunk_ranges = []
     total_hits = 0
     for cm in chunks:
-        s, e = _ranges_steploop(dev, cm, chunk_len, seeded=True)
+        s, e = _ngram_ranges_steploop(
+            dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
+        )
         chunk_ranges.append((s, e))
         total_hits += int(np.asarray(_total_hits(s, e)))
     cap = _round_up(
@@ -240,8 +243,9 @@ def main():
         total = jnp.uint32(0)
         pend = []
         for cm in chunks:
-            s, e = _ranges_steploop(
-                dev, cm, chunk_len, seeded=True, defer=pend if defer else None
+            s, e = _ngram_ranges_steploop(
+                dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K,
+                defer=pend if defer else None,
             )
             hits, _qid, mask = locate_flat_device(dev, s, e, capacity=cap)
             total = total + hits[0]
