@@ -7,11 +7,20 @@ module represents every 64-bit quantity as a (hi, lo) pair of uint32
 arrays and propagates carries explicitly — the idiomatic TPU analogue of
 the C library's native u64 arithmetic.
 
-Row layout (pack_device_blocks64): identical strided bit-planes to the
-32-bit rows, but milestones widen to little-endian u64:
+Row layout (pack_device_blocks64): strided bit-planes as in the 32-bit
+rows, but PAIR-FUSED (each row carries blocks b and b+1, ngram.py
+style) with little-endian u64 milestones for block b:
 
-    nucleotide: [3 planes x 32 B | 5 x u64 milestones | pad] = 256 B
-    amino:      [5 planes x 32 B | 21 x u64 milestones | pad] = 384 B
+    plane i: bytes [i*64, i*64+32) = block b, [i*64+32, i*64+64) = b+1
+    nucleotide: [3 planes x 64 B | 6 x u64 milestones | pad] = 256 B
+    amino:      [5 planes x 64 B | 22 x u64 milestones | pad] = 512 B
+
+Fusing the partner block costs nothing for nucleotide (the planes land
+in what was padding) and lets the post-seed backward step run as ONE
+row gather whenever start-1 and end share the 512-position window
+(backward_step64_pair; rank.backward_step_pair's contract), instead of
+two — the same measured ~1.4x one-gather win as the 32-bit path.
+Single-position ranks read the first-block half of the same rows.
 
 Capacity: block indices ride int32 gathers, so the device cap is
 2^31 blocks = 2^39 positions (~550 G bases); sampled-SA gathers require
@@ -146,7 +155,7 @@ class DeviceIndex64:
 
     @property
     def milestone_offset(self) -> int:
-        return self.n_planes * 32
+        return self.n_planes * 64
 
     @property
     def row_bytes(self) -> int:
@@ -170,14 +179,21 @@ jax.tree_util.register_dataclass(
 
 def device_row_bytes64(alphabet: AlphabetType) -> int:
     n_planes = alpha.num_bit_planes(alphabet)
-    need = n_planes * 32 + (alpha.cardinality(alphabet) + 1) * 8
+    need = n_planes * 64 + (alpha.cardinality(alphabet) + 1) * 8
     return ((need + 127) // 128) * 128
 
 
 def pack_device_blocks64(
     bwt_letters: np.ndarray, milestones: np.ndarray, alphabet: AlphabetType
 ) -> np.ndarray:
-    """Fuse bit-planes + u64 milestones into (num_blocks, row_bytes) u8."""
+    """Pair-fused bit-planes + u64 milestones -> (num_blocks, row_bytes) u8.
+
+    Row b holds plane bytes for blocks b AND b+1 (interleaved per plane,
+    ngram.pair_rows_from_ngram_blocks style) plus block b's milestones.
+    The final row's missing partner keeps zero plane bytes; those
+    pair-local positions lie beyond every valid rank position and the
+    inclusive mask zeroes them (same argument as ngram.py).
+    """
     n_planes = alpha.num_bit_planes(alphabet)
     card = alpha.cardinality(alphabet)
     row_bytes = device_row_bytes64(alphabet)
@@ -190,11 +206,11 @@ def pack_device_blocks64(
     out = np.zeros((nb, row_bytes), dtype=np.uint8)
     for b in range(n_planes):
         bits = ((codes >> b) & 1).reshape(nb, POSITIONS_PER_BLOCK)
-        out[:, b * 32 : (b + 1) * 32] = np.packbits(
-            bits, axis=1, bitorder="little"
-        )
+        plane = np.packbits(bits, axis=1, bitorder="little")
+        out[:, b * 64 : b * 64 + 32] = plane
+        out[:-1, b * 64 + 32 : (b + 1) * 64] = plane[1:]
     ms = milestones[:, : card + 1].astype("<u8")
-    off = n_planes * 32
+    off = n_planes * 64
     out[:, off : off + (card + 1) * 8] = ms.view(np.uint8).reshape(
         nb, (card + 1) * 8
     )
@@ -223,9 +239,9 @@ def _inclusive_mask(local):
     )
 
 
-def _match_bytes(dev, rows, letter_indices):
+def _code_mask_bytes64(dev, letter_indices):
     lut = np.asarray(alpha.index_to_vector_lut(dev.alphabet))
-    diff = None
+    out = []
     for i in range(dev.n_planes):
         m = jnp.zeros(letter_indices.shape, dtype=jnp.uint8)
         for j in range(dev.cardinality + 1):
@@ -233,7 +249,26 @@ def _match_bytes(dev, rows, letter_indices):
                 m = m | jnp.where(
                     letter_indices == j, jnp.uint8(0xFF), jnp.uint8(0)
                 )
-        x = rows[:, i * 32 : (i + 1) * 32] ^ m[:, None]
+        out.append(m)
+    return out
+
+
+def _match_bytes(dev, rows, letter_indices):
+    """Match bits over the FIRST block of each pair row (32 B/plane)."""
+    cms = _code_mask_bytes64(dev, letter_indices)
+    diff = None
+    for i in range(dev.n_planes):
+        x = rows[:, i * 64 : i * 64 + 32] ^ cms[i][:, None]
+        diff = x if diff is None else (diff | x)
+    return ~diff
+
+
+def _match_bytes_pair64(dev, rows, letter_indices):
+    """(B, 64) match bits over a pair row's full 512 positions."""
+    cms = _code_mask_bytes64(dev, letter_indices)
+    diff = None
+    for i in range(dev.n_planes):
+        x = rows[:, i * 64 : (i + 1) * 64] ^ cms[i][:, None]
         diff = x if diff is None else (diff | x)
     return ~diff
 
@@ -302,6 +337,70 @@ def backward_step64(
     return ns_hi, ns_lo, ne_hi, ne_lo
 
 
+_PAIR_IOTA = np.arange(64, dtype=np.int32)
+
+
+def _inclusive_mask_pair64(local):
+    """(B, 64) uint8 inclusive mask, local in [0, 512) within a pair row."""
+    byte_idx = (local >> 3)[:, None]
+    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
+    low = (jnp.uint8(2) << bit_idx) - jnp.uint8(1)
+    b = _PAIR_IOTA[None, :]
+    return jnp.where(
+        b < byte_idx, jnp.uint8(0xFF), jnp.where(b == byte_idx, low, jnp.uint8(0))
+    )
+
+
+def backward_step64_pair(
+    dev, s_hi, s_lo, e_hi, e_lo, letter_indices, bad, active=None
+):
+    """One-gather u64 backward step; flags ranges wider than the pair
+    window (rank.backward_step_pair contract on hi/lo pairs).
+
+    Both occ queries (start-1 and end) are served from the pair row of
+    start-1's block. Rows whose end lies beyond the 512-position window
+    get a clamped (wrong) end and are FLAGGED for the caller's exact
+    re-run through backward_step64.
+    """
+    c_hi, c_lo = _prefix_select64(dev, letter_indices)
+    ps_hi, ps_lo = sub64_small(s_hi, s_lo, _U1)
+    base = ((ps_hi << jnp.uint32(24)) | (ps_lo >> jnp.uint32(8))).astype(
+        jnp.int32
+    )
+    local_s = (ps_lo & jnp.uint32(0xFF)).astype(jnp.int32)
+    # end relative to the pair window start (u64 subtract)
+    ws_lo = ps_lo & ~jnp.uint32(0xFF)
+    d_hi, d_lo = sub64(e_hi, e_lo, ps_hi, ws_lo)
+    overflow = (d_hi != _U0) | (d_lo >= jnp.uint32(512))
+    local_e = jnp.minimum(d_lo, jnp.uint32(511)).astype(jnp.int32)
+
+    rows = dev.packed[base]
+    match = _match_bytes_pair64(dev, rows, letter_indices)
+    occ_s = jnp.sum(
+        lax.population_count(match & _inclusive_mask_pair64(local_s)),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    occ_e = jnp.sum(
+        lax.population_count(match & _inclusive_mask_pair64(local_e)),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    ms_hi, ms_lo = _milestone64(dev, rows, letter_indices)
+    b_hi, b_lo = add64(c_hi, c_lo, ms_hi, ms_lo)
+    ns_hi, ns_lo = add64_small(b_hi, b_lo, occ_s.astype(jnp.uint32))
+    ne_hi, ne_lo = add64_small(b_hi, b_lo, occ_e.astype(jnp.uint32))
+    ne_hi, ne_lo = sub64_small(ne_hi, ne_lo, _U1)
+
+    keep = le64(s_hi, s_lo, e_hi, e_lo)
+    if active is not None:
+        keep = keep & active
+    bad = bad | (overflow & keep)
+    ns_hi, ns_lo = where64(keep, ns_hi, ns_lo, s_hi, s_lo)
+    ne_hi, ne_lo = where64(keep, ne_hi, ne_lo, e_hi, e_lo)
+    return ns_hi, ns_lo, ne_hi, ne_lo, bad
+
+
 def letter_and_lf_at64(dev, pos_hi, pos_lo):
     """BWT letter + LF mapping at each position (AwFmSearch.c:369-427)."""
     rows, local = _gather_rows64(dev, pos_hi, pos_lo)
@@ -313,7 +412,7 @@ def letter_and_lf_at64(dev, pos_hi, pos_lo):
     code = jnp.zeros(pos_lo.shape, dtype=jnp.int32)
     for i in range(dev.n_planes):
         hit = jnp.sum(
-            lax.population_count(rows[:, i * 32 : (i + 1) * 32] & onehot),
+            lax.population_count(rows[:, i * 64 : i * 64 + 32] & onehot),
             axis=1,
             dtype=jnp.int32,
         )

@@ -78,6 +78,50 @@ def _steps_fused64(dev, s_hi, s_lo, e_hi, e_lo, *letter_cols, seg):
     return s_hi, s_lo, e_hi, e_lo
 
 
+# -- pair-row (one-gather) steps; mirrors search._ranges_steploop_pair ------
+
+@jax.jit
+def _step_masked64_pair(dev, s_hi, s_lo, e_hi, e_lo, bad, letters, active):
+    return r64.backward_step64_pair(
+        dev, s_hi, s_lo, e_hi, e_lo, letters.astype(jnp.int32), bad, active
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _steps_fused64_pair(dev, s_hi, s_lo, e_hi, e_lo, bad, *letter_cols, seg):
+    for s in range(seg):
+        s_hi, s_lo, e_hi, e_lo, bad = r64.backward_step64_pair(
+            dev, s_hi, s_lo, e_hi, e_lo, letter_cols[s].astype(jnp.int32), bad
+        )
+    return s_hi, s_lo, e_hi, e_lo, bad
+
+
+@jax.jit
+def _flag_count64(bad):
+    return jnp.sum(bad, dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _flag_indices64(bad, *, m):
+    return jnp.nonzero(bad, size=m, fill_value=0)[0].astype(jnp.int32)
+
+
+@jax.jit
+def _scatter_ranges64(s_hi, s_lo, e_hi, e_lo, idx, us_hi, us_lo, ue_hi, ue_lo):
+    return (
+        s_hi.at[idx].set(us_hi),
+        s_lo.at[idx].set(us_lo),
+        e_hi.at[idx].set(ue_hi),
+        e_lo.at[idx].set(ue_lo),
+    )
+
+
+def _use_pair_rows64() -> bool:
+    import os
+
+    return os.environ.get("AWFM_PAIR_ROWS", "1") != "0"
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps", "seeded"))
 def _ranges_scan64(dev, kmers, lengths, *, n_steps, seeded):
     """Single-program scan formulation (CPU backends)."""
@@ -126,6 +170,88 @@ def _fuse_steps() -> int:
     return max(1, int(os.environ.get("AWFM_FUSE_STEPS", "4")))
 
 
+def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
+                       seeded: bool, pair: bool):
+    """Host-driven extension loop -> device (s_hi, s_lo, e_hi, e_lo).
+
+    ``pair``: route through the one-gather pair-window step
+    (r64.backward_step64_pair); queries whose range outgrew the
+    512-position window are flagged on device and re-run through this
+    same loop with pair=False (exact two-gather), mirroring
+    search._ranges_steploop_pair. The wide path performs its result
+    readback right after this loop, so the flag check is folded into
+    that sync rather than deferred.
+    """
+    b, l = mat.shape
+    if seeded:
+        k = dev.kmer_length_in_seed_table
+        idxs = np.clip(
+            lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1
+        )
+        s_hi, s_lo, e_hi, e_lo = _seed_lookup64(
+            dev, jnp.asarray(np.take_along_axis(mat, idxs, axis=1))
+        )
+        n_steps = max(0, l - k)
+        pos = lengths[:, None] - k - 1 - np.arange(n_steps)[None, :]
+    else:
+        s_hi, s_lo, e_hi, e_lo = _initial_range64(
+            dev,
+            jnp.asarray(
+                np.take_along_axis(mat, (lengths - 1)[:, None], axis=1)[:, 0]
+            ),
+        )
+        n_steps = l - 1
+        pos = lengths[:, None] - 2 - np.arange(n_steps)[None, :]
+    letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
+    active = pos >= 0
+    bad = jnp.zeros(b, dtype=bool) if pair else None
+    if bool(active.all()):
+        fuse = _fuse_steps()
+        for lo in range(0, n_steps, fuse):
+            seg = list(range(lo, min(lo + fuse, n_steps)))
+            cols = [jnp.asarray(letters[:, t]) for t in seg]
+            if pair:
+                s_hi, s_lo, e_hi, e_lo, bad = _steps_fused64_pair(
+                    dev, s_hi, s_lo, e_hi, e_lo, bad, *cols, seg=len(seg)
+                )
+            else:
+                s_hi, s_lo, e_hi, e_lo = _steps_fused64(
+                    dev, s_hi, s_lo, e_hi, e_lo, *cols, seg=len(seg)
+                )
+    else:
+        for t in range(n_steps):
+            col = jnp.asarray(letters[:, t])
+            act = jnp.asarray(active[:, t])
+            if pair:
+                s_hi, s_lo, e_hi, e_lo, bad = _step_masked64_pair(
+                    dev, s_hi, s_lo, e_hi, e_lo, bad, col, act
+                )
+            else:
+                s_hi, s_lo, e_hi, e_lo = _step_masked64(
+                    dev, s_hi, s_lo, e_hi, e_lo, col, act
+                )
+    if not pair:
+        return s_hi, s_lo, e_hi, e_lo
+
+    cnt = int(np.asarray(_flag_count64(bad)))
+    if cnt == 0:
+        return s_hi, s_lo, e_hi, e_lo
+    from .utils import metrics
+
+    metrics.counter("search64.pair_fixup.flagged").add(cnt)
+    if cnt > b // 4:
+        return _ranges_steploop64(dev, mat, lengths, seeded, pair=False)
+    m = _round_up_pow2(cnt, floor=64)
+    idx_dev = _flag_indices64(bad, m=m)
+    idx = np.asarray(idx_dev)
+    us_hi, us_lo, ue_hi, ue_lo = _ranges_steploop64(
+        dev, mat[idx], lengths[idx], seeded, pair=False
+    )
+    return _scatter_ranges64(
+        s_hi, s_lo, e_hi, e_lo, idx_dev, us_hi, us_lo, ue_hi, ue_lo
+    )
+
+
 def ranges64(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
              seeded: bool) -> np.ndarray:
     """Final BWT ranges for an encoded batch -> (B, 2) uint64 host array."""
@@ -138,41 +264,14 @@ def ranges64(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
             n_steps=n_steps, seeded=seeded,
         )
     else:
-        if seeded:
-            k = dev.kmer_length_in_seed_table
-            idxs = np.clip(
-                lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1
-            )
-            s_hi, s_lo, e_hi, e_lo = _seed_lookup64(
-                dev, jnp.asarray(np.take_along_axis(mat, idxs, axis=1))
-            )
-            n_steps = max(0, l - k)
-            pos = lengths[:, None] - k - 1 - np.arange(n_steps)[None, :]
-        else:
-            s_hi, s_lo, e_hi, e_lo = _initial_range64(
-                dev,
-                jnp.asarray(
-                    np.take_along_axis(mat, (lengths - 1)[:, None], axis=1)[:, 0]
-                ),
-            )
-            n_steps = l - 1
-            pos = lengths[:, None] - 2 - np.arange(n_steps)[None, :]
-        letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
-        active = pos >= 0
-        if bool(active.all()):
-            fuse = _fuse_steps()
-            for lo in range(0, n_steps, fuse):
-                seg = list(range(lo, min(lo + fuse, n_steps)))
-                s_hi, s_lo, e_hi, e_lo = _steps_fused64(
-                    dev, s_hi, s_lo, e_hi, e_lo,
-                    *[jnp.asarray(letters[:, t]) for t in seg], seg=len(seg),
-                )
-        else:
-            for t in range(n_steps):
-                s_hi, s_lo, e_hi, e_lo = _step_masked64(
-                    dev, s_hi, s_lo, e_hi, e_lo,
-                    jnp.asarray(letters[:, t]), jnp.asarray(active[:, t]),
-                )
+        # Seeded batches use the one-gather pair-window step (seed
+        # ranges are nearly always narrower than a block); unseeded
+        # batches start from whole-letter ranges spanning many blocks,
+        # so they keep the classic two-gather step.
+        pair = seeded and _use_pair_rows64()
+        s_hi, s_lo, e_hi, e_lo = _ranges_steploop64(
+            dev, mat, lengths, seeded, pair
+        )
     start = (np.asarray(s_hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
         s_lo
     ).astype(np.uint64)

@@ -273,3 +273,76 @@ def test_true_straddle_rank(rng):
         full, rem = divmod(int(p) + 1, pat_len)
         want = full * int(pat_cum[int(l)][-1]) + int(pat_cum[int(l)][rem])
         assert int(got[i]) == want, (i, p, l)
+
+
+def test_pair_step_matches_classic_and_flags(rng):
+    """backward_step64_pair == backward_step64 for in-window ranges;
+    ranges wider than the 512-position pair window are flagged."""
+    nb = 16
+    letters = rng.integers(0, 6, size=(nb, 256)).astype(np.uint8)
+    dev, ms, ps = _synthetic_wide_dev(letters, base=2**32 - 100)
+
+    s0 = (rng.integers(1, nb * 256 - 600, size=256, dtype=np.uint64))
+    width = rng.integers(0, 500, size=256, dtype=np.uint64)
+    e0 = s0 + width  # always within the pair window of s0-1
+    lt = rng.integers(0, 4, size=256).astype(np.int32)
+    sh, sl = map(jnp.asarray, r64.split_u64_host(s0))
+    eh, el = map(jnp.asarray, r64.split_u64_host(e0))
+    bad = jnp.zeros(256, dtype=bool)
+    psh, psl, peh, pel, bad = r64.backward_step64_pair(
+        dev, sh, sl, eh, el, jnp.asarray(lt), bad
+    )
+    csh, csl, ceh, cel = r64.backward_step64(
+        dev, sh, sl, eh, el, jnp.asarray(lt)
+    )
+    # in-window rows must agree exactly with the two-gather step
+    ok = ~np.asarray(bad)
+    assert ok.sum() > 200  # the construction keeps nearly all in-window
+    for got, want in ((psh, csh), (psl, csl), (peh, ceh), (pel, cel)):
+        np.testing.assert_array_equal(np.asarray(got)[ok], np.asarray(want)[ok])
+
+    # genuinely wide valid ranges must be flagged
+    s1 = np.full(8, 257, dtype=np.uint64)
+    e1 = s1 + np.uint64(600)  # spans past block b+1
+    sh1, sl1 = map(jnp.asarray, r64.split_u64_host(s1))
+    eh1, el1 = map(jnp.asarray, r64.split_u64_host(e1))
+    *_, bad1 = r64.backward_step64_pair(
+        dev, sh1, sl1, eh1, el1,
+        jnp.asarray(np.zeros(8, np.int32)), jnp.zeros(8, dtype=bool),
+    )
+    assert bool(np.asarray(bad1).all())
+
+
+def test_wide_steploop_pair_matches_narrow(rng, monkeypatch):
+    """The TPU production path (step loop + pair rows + fixup) on the
+    wide layout must equal the 32-bit engine, including on a repeat-rich
+    corpus whose seeded ranges stay wider than the pair window (forcing
+    the flagged re-run)."""
+    from avxwindowfmindex_tpu.utils import metrics
+
+    monkeypatch.setattr(search64, "_use_step_loop", lambda: True)
+    flagged_before = metrics.snapshot().get("search64.pair_fixup.flagged", 0)
+    for seq_bytes in (
+        random_sequence(rng, 4000, AlphabetType.DNA),
+        # low-complexity: 2-letter alphabet keeps post-seed ranges wide
+        bytes(rng.choice(np.frombuffer(b"AC", np.uint8), size=4000)),
+    ):
+        index = create_index(seq_bytes, _cfg(k=3))
+        narrow = SearchEngine(index)
+        wide = SearchEngine(index.to_device(refresh=True, wide=True))
+        wide.host_index = index
+        kmers = [
+            random_kmer(rng, int(rng.integers(3, 12)), AlphabetType.DNA)
+            for _ in range(128)
+        ] + [b"ACACACAC", b"AAAA", b"CCCCCC"]
+        np.testing.assert_array_equal(wide.count(kmers), narrow.count(kmers))
+        got = wide.locate(kmers)
+        want = narrow.locate(kmers)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
+        index._device_cache = None
+    # the low-complexity corpus must actually exercise the flagged
+    # re-run path (wide post-seed ranges overflow the pair window)
+    assert metrics.snapshot().get(
+        "search64.pair_fixup.flagged", 0
+    ) > flagged_before
