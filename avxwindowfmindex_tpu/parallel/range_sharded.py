@@ -154,6 +154,7 @@ class RangeShardedSearchEngine(SearchEngine):
         )
         self._ranges_fns = {}
         self._resolve_fn = None
+        self._bt_seg_fn = None
 
     # -- sharded kernels ----------------------------------------------------
 
@@ -260,42 +261,30 @@ class RangeShardedSearchEngine(SearchEngine):
 
     # -- locate: sharded backtrace ------------------------------------------
 
-    def resolve_positions(self, bwt_positions: np.ndarray) -> np.ndarray:
-        """LF-backtrace + sampled-SA resolve with every rank a collective.
+    def _get_bt_segment_fn(self):
+        """Fixed-trip masked LF segment with psum-assembled ranks.
 
-        Cost bound (documented, deliberate): the masked ``while_loop``
-        runs until the LONGEST chain finishes — chains are geometric
-        with mean ``ratio``, so the batch maximum is ~``ratio * ln(B)``
-        iterations (~110 for ratio 8, B=1M), each costing two (B,)-u32
-        ``psum``s over ICI. The replicated engine's host-driven
-        compaction (search.backtrace_all) cannot run here because the
-        owning shard of each position changes every step and compaction
-        would have to re-shard mid-walk. This mode exists for indexes
-        too big for one chip's HBM; route locate-heavy workloads to the
-        replicated engine whenever the index fits (parallel/dist.py).
+        One compiled program performs ``seg`` masked LF steps on a
+        (replicated) position batch; positions already at a sample
+        (p % ratio == 0) pass through unchanged. jax.jit re-specializes
+        per batch shape, so the same fn serves the full batch and the
+        compacted straggler batches.
         """
-        n = len(bwt_positions)
-        if n == 0:
-            return np.empty(0, dtype=np.uint64)
-        dev = self.dev
+        if self._bt_seg_fn is not None:
+            return self._bt_seg_fn
+        dev_t = self.dev
         bps = self.blocks_per_shard
-        sps = self.samples_per_shard
-        ratio = dev.ratio
-        sentinel = dev.sentinel
-        card = dev.cardinality
-        bwt_length = dev.bwt_length
+        ratio = dev_t.ratio
+        sentinel = dev_t.sentinel
+        card = dev_t.cardinality
+        seg = min(64, max(4, 2 * ratio))
 
-        def body(dev, positions):
+        def body(dev, p, off):
             shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
             first_block = shard_id * bps
             ratio_u = jnp.uint32(ratio)
-
-            def cond(state):
-                _, _, done = state
-                return ~jnp.all(done)
-
-            def step_body(state):
-                p, off, done = state
+            for _ in range(seg):
+                done = (p % ratio_u) == jnp.uint32(0)
                 blk = (p // POSITIONS_PER_BLOCK).astype(jnp.int32)
                 local_blk = blk - first_block
                 owned = (local_blk >= 0) & (local_blk < bps)
@@ -336,17 +325,31 @@ class RangeShardedSearchEngine(SearchEngine):
                 occ = jax.lax.psum(occ_local, AXIS)
                 lf = dev.prefix_sums[lclip] + occ - jnp.uint32(1)
                 lf = jnp.where(is_sentinel, jnp.uint32(0), lf)
-                p2 = jnp.where(done, p, lf)
-                off2 = jnp.where(done, off, off + jnp.uint32(1))
-                done2 = (p2 % ratio_u) == 0
-                return p2, off2, done2
+                p = jnp.where(done, p, lf)
+                off = jnp.where(done, off, off + jnp.uint32(1))
+            return p, off
 
-            done0 = (positions % ratio_u) == 0
-            p, off, _ = jax.lax.while_loop(
-                cond, step_body, (positions, jnp.zeros_like(positions), done0)
-            )
-            # sampled-SA resolve: sample index range-sharded
-            sa_idx = (p // ratio_u).astype(jnp.int32)
+        mapped = _shard_map(
+            body, mesh=self.mesh,
+            in_specs=(_dev_specs(self.dev), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        self._bt_seg_fn = jax.jit(mapped)
+        return self._bt_seg_fn
+
+    def _get_sa_resolve_fn(self):
+        """(p, off) -> database hits via the range-sharded sampled SA."""
+        if self._resolve_fn is not None:
+            return self._resolve_fn
+        dev_t = self.dev
+        sps = self.samples_per_shard
+        ratio = dev_t.ratio
+        bwt_length = dev_t.bwt_length
+
+        def body(dev, p, off):
+            shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
+            sa_idx = (p // jnp.uint32(ratio)).astype(jnp.int32)
             local_idx = sa_idx - shard_id * sps
             owned = (local_idx >= 0) & (local_idx < sps)
             safe = jnp.clip(local_idx, 0, sps - 1)
@@ -354,21 +357,63 @@ class RangeShardedSearchEngine(SearchEngine):
             sa_vals = jax.lax.psum(vals, AXIS)
             return (sa_vals + off) % jnp.uint32(bwt_length)
 
-        if self._resolve_fn is None:
-            mapped = _shard_map(
-                body, mesh=self.mesh,
-                in_specs=(_dev_specs(self.dev), P()),
-                out_specs=P(),
-                check_vma=False,
-            )
-            self._resolve_fn = jax.jit(mapped)
-        fn = self._resolve_fn
+        mapped = _shard_map(
+            body, mesh=self.mesh,
+            in_specs=(_dev_specs(self.dev), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        self._resolve_fn = jax.jit(mapped)
+        return self._resolve_fn
+
+    def resolve_positions(self, bwt_positions: np.ndarray) -> np.ndarray:
+        """LF-backtrace + sampled-SA resolve with every rank a collective.
+
+        Schedule: the same host-driven compaction as the replicated
+        engine (search.backtrace_all) — one fixed-trip masked segment
+        over the full batch, then geometrically smaller compacted
+        straggler batches. Compaction is safe here because the POSITION
+        batch is replicated (P()) across the mesh; only the block/SA
+        tables are sharded, and each rank lookup resolves ownership from
+        the position value itself. This caps the collective cost at
+        ~2*ratio full-batch psum steps plus a few segments over shrunken
+        batches, instead of the ~ratio*ln(B) full-batch while_loop
+        iterations of the naive formulation. This mode still exists for
+        indexes too big for one chip's HBM; route locate-heavy workloads
+        to the replicated engine whenever the index fits
+        (parallel/dist.py).
+        """
+        n = len(bwt_positions)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        dev = self.dev
+        ratio = dev.ratio
+        rep = NamedSharding(self.mesh, P())
 
         b_pad = _round_up_pow2(n)
         padded = np.zeros(b_pad, dtype=np.uint32)
         padded[:n] = bwt_positions.astype(np.uint32)
-        rep = NamedSharding(self.mesh, P())
-        hits = fn(dev, jax.device_put(jnp.asarray(padded), rep))
+        p = jax.device_put(jnp.asarray(padded), rep)
+        off = jax.device_put(jnp.zeros(b_pad, dtype=jnp.uint32), rep)
+
+        seg_fn = self._get_bt_segment_fn()
+        p, off = seg_fn(dev, p, off)
+        while True:
+            undone = jnp.asarray(p) % jnp.uint32(ratio) != jnp.uint32(0)
+            cnt = int(np.asarray(jnp.sum(undone, dtype=jnp.int32)))
+            if cnt == 0:
+                break
+            m = _round_up_pow2(cnt, floor=256)
+            if m >= b_pad:
+                p, off = seg_fn(dev, p, off)
+                continue
+            idx = jnp.nonzero(undone, size=m, fill_value=0)[0].astype(
+                jnp.int32
+            )
+            sub_p, sub_off = seg_fn(dev, p[idx], off[idx])
+            p = p.at[idx].set(sub_p)
+            off = off.at[idx].set(sub_off)
+        hits = self._get_sa_resolve_fn()(dev, p, off)
         return np.asarray(hits[:n], dtype=np.uint64)
 
 

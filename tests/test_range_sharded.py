@@ -81,3 +81,18 @@ def test_resolve_fn_cached(built):
     fn1 = eng._resolve_fn
     eng.locate([b"GATT"])
     assert eng._resolve_fn is fn1  # no rebuild per call
+
+
+def test_sharded_backtrace_compaction_levels(rng):
+    """Every BWT position at ratio 16: chains longer than the fixed
+    segment force the host-driven straggler compaction levels, and the
+    answers must still equal the single-device walk exactly."""
+    seq = random_sequence(rng, 3000, AlphabetType.DNA)
+    cfg = IndexConfiguration(16, 2, AlphabetType.DNA)
+    index = create_index(seq, cfg)
+    sharded = RangeShardedSearchEngine(index, make_index_mesh(2))
+    single = SearchEngine(index)
+    pos = np.arange(index.bwt_length, dtype=np.uint64)
+    np.testing.assert_array_equal(
+        sharded.resolve_positions(pos), single.resolve_positions(pos)
+    )
