@@ -522,6 +522,14 @@ class FmIndex:
             ),
             alphabet=self.alphabet,
         )
+        k = int(self.config.kmer_length_in_seed_table)
+        narrow_cache = (
+            self._device_cache
+            if isinstance(self._device_cache, DeviceIndex)
+            and self.bwt_length < 2**32
+            and self._device_cache.seed_table.shape[0] == self.cardinality**k
+            else None
+        )
         if self.kmer_seed_table is not None:
             st = self.kmer_seed_table.astype(np.uint64)
             s_hi, s_lo = r64.split_u64_host(st[:, 0])
@@ -529,14 +537,19 @@ class FmIndex:
             dev.seed_table = jnp.asarray(
                 np.stack([s_lo, s_hi, e_lo, e_hi], axis=1)
             )
+        elif narrow_cache is not None:
+            # widen the existing 32-bit device table (values < 2^32, so
+            # hi words are zero) instead of re-running the device BFS
+            st32 = narrow_cache.seed_table
+            zeros = jnp.zeros_like(st32[:, 0])
+            dev.seed_table = jnp.stack(
+                [st32[:, 0], zeros, st32[:, 1], zeros], axis=1
+            )
         else:
             from ..search64 import build_seed_table_device64
 
             dev.seed_table = build_seed_table_device64(
-                dev,
-                self.cardinality,
-                int(self.config.kmer_length_in_seed_table),
-                self.prefix_sums,
+                dev, self.cardinality, k, self.prefix_sums
             )
         if self.sampled_sa is not None:
             sa_hi, sa_lo = r64.split_u64_host(self.sampled_sa)

@@ -428,7 +428,33 @@ def _extend_all_letters64(dev, s_hi, s_lo, e_hi, e_lo):
     )
 
 
-def build_seed_table_device64(dev, cardinality: int, k: int, prefix_sums_host):
+def _extend_level_chunked(dev, s_hi, s_lo, e_hi, e_lo, card, chunk):
+    """One BFS level, sliced so each program's gathered rows stay small.
+
+    _extend_all_letters64 at a deep level gathers 2 * card * n rows in
+    one program (~8.6 GB of row temporaries at k=12 with 256 B wide
+    rows — HBM OOM); slicing the input batch bounds live temporaries.
+    Output ordering matches the unchunked call: index = letter * n + i.
+    """
+    n = s_lo.shape[0]
+    if n * card <= chunk:
+        return _extend_all_letters64(dev, s_hi, s_lo, e_hi, e_lo)
+    step = max(1, chunk // card)
+    outs = []
+    for lo in range(0, n, step):
+        sl = slice(lo, min(lo + step, n))
+        outs.append(
+            _extend_all_letters64(dev, s_hi[sl], s_lo[sl], e_hi[sl], e_lo[sl])
+        )
+    res = []
+    for j in range(4):
+        parts = [o[j].reshape(card, -1) for o in outs]
+        res.append(jnp.concatenate(parts, axis=1).reshape(-1))
+    return tuple(res)
+
+
+def build_seed_table_device64(dev, cardinality: int, k: int, prefix_sums_host,
+                              chunk: int = 1 << 21):
     """(|A|^k, 4) uint32 seed table [s_lo, s_hi, e_lo, e_hi], on device."""
     ps = np.asarray(prefix_sums_host, dtype=np.uint64)
     s = ps[:cardinality]
@@ -438,7 +464,7 @@ def build_seed_table_device64(dev, cardinality: int, k: int, prefix_sums_host):
     s_hi, s_lo = jnp.asarray(s_hi), jnp.asarray(s_lo)
     e_hi, e_lo = jnp.asarray(e_hi), jnp.asarray(e_lo)
     for _depth in range(1, k):
-        s_hi, s_lo, e_hi, e_lo = _extend_all_letters64(
-            dev, s_hi, s_lo, e_hi, e_lo
+        s_hi, s_lo, e_hi, e_lo = _extend_level_chunked(
+            dev, s_hi, s_lo, e_hi, e_lo, cardinality, chunk
         )
     return jnp.stack([s_lo, s_hi, e_lo, e_hi], axis=1)

@@ -346,3 +346,22 @@ def test_wide_steploop_pair_matches_narrow(rng, monkeypatch):
     assert metrics.snapshot().get(
         "search64.pair_fixup.flagged", 0
     ) > flagged_before
+
+
+def test_wide_seed_table_widened_and_chunked_bfs_agree(rng):
+    """The three ways to produce the wide seed table — widening the
+    32-bit device table, the device BFS, and the memory-bounded chunked
+    BFS — must be identical."""
+    from avxwindowfmindex_tpu.search64 import build_seed_table_device64
+
+    seq = random_sequence(rng, 3000, AlphabetType.DNA)
+    index = create_index(seq, _cfg(k=4))
+    index.to_device()  # narrow cache; enables the widening shortcut
+    wide_dev = index.to_device(refresh=True, wide=True)
+    bfs = build_seed_table_device64(wide_dev, 4, 4, index.prefix_sums)
+    bfs_chunked = build_seed_table_device64(
+        wide_dev, 4, 4, index.prefix_sums, chunk=64
+    )
+    np.testing.assert_array_equal(np.asarray(wide_dev.seed_table), np.asarray(bfs))
+    np.testing.assert_array_equal(np.asarray(bfs), np.asarray(bfs_chunked))
+    index._device_cache = None
