@@ -501,8 +501,17 @@ class FmIndex:
                 "sampled-SA gather index must fit int32: need "
                 "bwtLength / saCompressionRatio < 2^31"
             )
+        import os
+
+        # pair-fused rows are free for nucleotide (they fill former row
+        # padding); amino pair rows cost +128 B/block, so the capacity-
+        # minded AWFM_PAIR_ROWS=0 keeps the compact 384 B amino layout
+        pair_fused = self.alphabet == AlphabetType.DNA or os.environ.get(
+            "AWFM_PAIR_ROWS", "1"
+        ) != "0"
         packed = r64.pack_device_blocks64(
-            self.bwt_letters, self.milestones(), self.alphabet
+            self.bwt_letters, self.milestones(), self.alphabet,
+            pair=pair_fused,
         )
         ps_hi, ps_lo = r64.split_u64_host(self.prefix_sums)
         dev = r64.DeviceIndex64(
@@ -521,6 +530,7 @@ class FmIndex:
                 self.config.kmer_length_in_seed_table
             ),
             alphabet=self.alphabet,
+            pair_fused=pair_fused,
         )
         k = int(self.config.kmer_length_in_seed_table)
         narrow_cache = (

@@ -8,19 +8,27 @@ arrays and propagates carries explicitly — the idiomatic TPU analogue of
 the C library's native u64 arithmetic.
 
 Row layout (pack_device_blocks64): strided bit-planes as in the 32-bit
-rows, but PAIR-FUSED (each row carries blocks b and b+1, ngram.py
-style) with little-endian u64 milestones for block b:
+rows, by default PAIR-FUSED (each row carries blocks b and b+1,
+ngram.py style) with little-endian u64 milestones for block b:
 
     plane i: bytes [i*64, i*64+32) = block b, [i*64+32, i*64+64) = b+1
-    nucleotide: [3 planes x 64 B | 6 x u64 milestones | pad] = 256 B
-    amino:      [5 planes x 64 B | 22 x u64 milestones | pad] = 512 B
+    nucleotide: [3 planes x 64 B | 5 x u64 milestones | pad] = 256 B
+    amino:      [5 planes x 64 B | 21 x u64 milestones | pad] = 512 B
 
 Fusing the partner block costs nothing for nucleotide (the planes land
 in what was padding) and lets the post-seed backward step run as ONE
 row gather whenever start-1 and end share the 512-position window
 (backward_step64_pair; rank.backward_step_pair's contract), instead of
-two — the same measured ~1.4x one-gather win as the 32-bit path.
+two — the same measured ~1.4x one-gather win as the 32-bit path
+(experiments/wide_r2.py: 0.662 vs 0.919 s per 1M seeded 25-mers).
 Single-position ranks read the first-block half of the same rows.
+
+Amino pair rows cost +128 B/block over the compact 384 B layout;
+because the wide path exists for HBM-tight capacity cases,
+AWFM_PAIR_ROWS=0 keeps the COMPACT single-block layout
+(pair_fused=False: plane stride 32, milestones at n_planes*32, classic
+two-gather steps). Nucleotide pair rows are free, so they fuse
+regardless; the env var still disables pair-step ROUTING there.
 
 Capacity: block indices ride int32 gathers, so the device cap is
 2^31 blocks = 2^39 positions (~550 G bases); sampled-SA gathers require
@@ -140,6 +148,7 @@ class DeviceIndex64:
     ratio: int
     kmer_length_in_seed_table: int
     alphabet: AlphabetType
+    pair_fused: bool = True  # rows carry blocks b,b+1 (plane stride 64)
 
     @property
     def cardinality(self) -> int:
@@ -154,12 +163,16 @@ class DeviceIndex64:
         return alpha.num_bit_planes(self.alphabet)
 
     @property
+    def plane_stride(self) -> int:
+        return 64 if self.pair_fused else 32
+
+    @property
     def milestone_offset(self) -> int:
-        return self.n_planes * 64
+        return self.n_planes * self.plane_stride
 
     @property
     def row_bytes(self) -> int:
-        return device_row_bytes64(self.alphabet)
+        return device_row_bytes64(self.alphabet, self.pair_fused)
 
 
 jax.tree_util.register_dataclass(
@@ -173,30 +186,43 @@ jax.tree_util.register_dataclass(
         "code_masks",
         "vec_to_index",
     ],
-    meta_fields=["bwt_length", "ratio", "kmer_length_in_seed_table", "alphabet"],
+    meta_fields=[
+        "bwt_length",
+        "ratio",
+        "kmer_length_in_seed_table",
+        "alphabet",
+        "pair_fused",
+    ],
 )
 
 
-def device_row_bytes64(alphabet: AlphabetType) -> int:
+def device_row_bytes64(alphabet: AlphabetType, pair: bool = True) -> int:
     n_planes = alpha.num_bit_planes(alphabet)
-    need = n_planes * 64 + (alpha.cardinality(alphabet) + 1) * 8
+    stride = 64 if pair else 32
+    need = n_planes * stride + (alpha.cardinality(alphabet) + 1) * 8
     return ((need + 127) // 128) * 128
 
 
 def pack_device_blocks64(
-    bwt_letters: np.ndarray, milestones: np.ndarray, alphabet: AlphabetType
+    bwt_letters: np.ndarray,
+    milestones: np.ndarray,
+    alphabet: AlphabetType,
+    pair: bool = True,
 ) -> np.ndarray:
-    """Pair-fused bit-planes + u64 milestones -> (num_blocks, row_bytes) u8.
+    """Bit-planes + u64 milestones -> (num_blocks, row_bytes) u8.
 
-    Row b holds plane bytes for blocks b AND b+1 (interleaved per plane,
-    ngram.pair_rows_from_ngram_blocks style) plus block b's milestones.
-    The final row's missing partner keeps zero plane bytes; those
-    pair-local positions lie beyond every valid rank position and the
-    inclusive mask zeroes them (same argument as ngram.py).
+    With ``pair`` (default), row b holds plane bytes for blocks b AND
+    b+1 (interleaved per plane, ngram.pair_rows_from_ngram_blocks
+    style) plus block b's milestones. The final row's missing partner
+    keeps zero plane bytes; those pair-local positions lie beyond every
+    valid rank position and the inclusive mask zeroes them (same
+    argument as ngram.py). ``pair=False`` packs the compact
+    single-block layout (stride 32).
     """
     n_planes = alpha.num_bit_planes(alphabet)
     card = alpha.cardinality(alphabet)
-    row_bytes = device_row_bytes64(alphabet)
+    row_bytes = device_row_bytes64(alphabet, pair)
+    stride = 64 if pair else 32
     bwt_length = len(bwt_letters)
     nb = num_blocks_from_bwt_length(bwt_length)
 
@@ -207,10 +233,11 @@ def pack_device_blocks64(
     for b in range(n_planes):
         bits = ((codes >> b) & 1).reshape(nb, POSITIONS_PER_BLOCK)
         plane = np.packbits(bits, axis=1, bitorder="little")
-        out[:, b * 64 : b * 64 + 32] = plane
-        out[:-1, b * 64 + 32 : (b + 1) * 64] = plane[1:]
+        out[:, b * stride : b * stride + 32] = plane
+        if pair:
+            out[:-1, b * 64 + 32 : (b + 1) * 64] = plane[1:]
     ms = milestones[:, : card + 1].astype("<u8")
-    off = n_planes * 64
+    off = n_planes * stride
     out[:, off : off + (card + 1) * 8] = ms.view(np.uint8).reshape(
         nb, (card + 1) * 8
     )
@@ -254,11 +281,12 @@ def _code_mask_bytes64(dev, letter_indices):
 
 
 def _match_bytes(dev, rows, letter_indices):
-    """Match bits over the FIRST block of each pair row (32 B/plane)."""
+    """Match bits over the FIRST block of each row (32 B per plane)."""
     cms = _code_mask_bytes64(dev, letter_indices)
+    stride = dev.plane_stride
     diff = None
     for i in range(dev.n_planes):
-        x = rows[:, i * 64 : i * 64 + 32] ^ cms[i][:, None]
+        x = rows[:, i * stride : i * stride + 32] ^ cms[i][:, None]
         diff = x if diff is None else (diff | x)
     return ~diff
 
@@ -360,8 +388,13 @@ def backward_step64_pair(
     Both occ queries (start-1 and end) are served from the pair row of
     start-1's block. Rows whose end lies beyond the 512-position window
     get a clamped (wrong) end and are FLAGGED for the caller's exact
-    re-run through backward_step64.
+    re-run through backward_step64. Requires the pair-fused layout.
     """
+    if not dev.pair_fused:
+        raise ValueError(
+            "backward_step64_pair requires the pair-fused row layout "
+            "(pack with pair=True / unset AWFM_PAIR_ROWS=0)"
+        )
     c_hi, c_lo = _prefix_select64(dev, letter_indices)
     ps_hi, ps_lo = sub64_small(s_hi, s_lo, _U1)
     base = ((ps_hi << jnp.uint32(24)) | (ps_lo >> jnp.uint32(8))).astype(
@@ -410,9 +443,10 @@ def letter_and_lf_at64(dev, pos_hi, pos_lo):
         _BYTE_IOTA[None, :] == byte_idx, jnp.uint8(1) << bit_idx, jnp.uint8(0)
     )
     code = jnp.zeros(pos_lo.shape, dtype=jnp.int32)
+    stride = dev.plane_stride
     for i in range(dev.n_planes):
         hit = jnp.sum(
-            lax.population_count(rows[:, i * 64 : i * 64 + 32] & onehot),
+            lax.population_count(rows[:, i * stride : i * stride + 32] & onehot),
             axis=1,
             dtype=jnp.int32,
         )

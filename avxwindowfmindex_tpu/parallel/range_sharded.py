@@ -369,10 +369,12 @@ class RangeShardedSearchEngine(SearchEngine):
     def resolve_positions(self, bwt_positions: np.ndarray) -> np.ndarray:
         """LF-backtrace + sampled-SA resolve with every rank a collective.
 
-        Schedule: the same host-driven compaction as the replicated
-        engine (search.backtrace_all) — one fixed-trip masked segment
-        over the full batch, then geometrically smaller compacted
-        straggler batches. Compaction is safe here because the POSITION
+        Schedule: the same host-driven compaction as the wide engine's
+        driver (search64.backtrace_all64) — one fixed-trip masked
+        segment over the full batch, then geometrically smaller
+        compacted straggler batches, with one small undone-count
+        readback per level (unlike search.backtrace_all, which is fully
+        sync-free; this capacity mode tolerates a few ~30 ms syncs). Compaction is safe here because the POSITION
         batch is replicated (P()) across the mesh; only the block/SA
         tables are sharded, and each rank lookup resolves ownership from
         the position value itself. This caps the collective cost at

@@ -106,16 +106,6 @@ def _flag_indices64(bad, *, m):
     return jnp.nonzero(bad, size=m, fill_value=0)[0].astype(jnp.int32)
 
 
-@jax.jit
-def _scatter_ranges64(s_hi, s_lo, e_hi, e_lo, idx, us_hi, us_lo, ue_hi, ue_lo):
-    return (
-        s_hi.at[idx].set(us_hi),
-        s_lo.at[idx].set(us_lo),
-        e_hi.at[idx].set(ue_hi),
-        e_lo.at[idx].set(ue_lo),
-    )
-
-
 def _use_pair_rows64() -> bool:
     import os
 
@@ -172,15 +162,15 @@ def _fuse_steps() -> int:
 
 def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
                        seeded: bool, pair: bool):
-    """Host-driven extension loop -> device (s_hi, s_lo, e_hi, e_lo).
+    """Host-driven extension loop -> device (s_hi, s_lo, e_hi, e_lo, bad).
 
     ``pair``: route through the one-gather pair-window step
     (r64.backward_step64_pair); queries whose range outgrew the
-    512-position window are flagged on device and re-run through this
-    same loop with pair=False (exact two-gather), mirroring
-    search._ranges_steploop_pair. The wide path performs its result
-    readback right after this loop, so the flag check is folded into
-    that sync rather than deferred.
+    512-position window are flagged on device (``bad``; None when
+    pair=False) and must be re-run by the caller through this same loop
+    with pair=False (exact two-gather), mirroring
+    search._ranges_steploop_pair. ranges64 folds the flag count into
+    its single result readback — no extra host sync.
     """
     b, l = mat.shape
     if seeded:
@@ -230,26 +220,20 @@ def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
                 s_hi, s_lo, e_hi, e_lo = _step_masked64(
                     dev, s_hi, s_lo, e_hi, e_lo, col, act
                 )
-    if not pair:
-        return s_hi, s_lo, e_hi, e_lo
+    return s_hi, s_lo, e_hi, e_lo, bad
 
-    cnt = int(np.asarray(_flag_count64(bad)))
-    if cnt == 0:
-        return s_hi, s_lo, e_hi, e_lo
-    from .utils import metrics
 
-    metrics.counter("search64.pair_fixup.flagged").add(cnt)
-    if cnt > b // 4:
-        return _ranges_steploop64(dev, mat, lengths, seeded, pair=False)
-    m = _round_up_pow2(cnt, floor=64)
-    idx_dev = _flag_indices64(bad, m=m)
-    idx = np.asarray(idx_dev)
-    us_hi, us_lo, ue_hi, ue_lo = _ranges_steploop64(
-        dev, mat[idx], lengths[idx], seeded, pair=False
+@jax.jit
+def _join_for_readback64(s_hi, s_lo, e_hi, e_lo, bad):
+    """One flat u32 array [flag_count, s_hi, s_lo, e_hi, e_lo] so the
+    whole result (including the pair-window flag check) crosses to the
+    host in a single readback."""
+    cnt = (
+        _flag_count64(bad).astype(jnp.uint32)
+        if bad is not None
+        else jnp.uint32(0)
     )
-    return _scatter_ranges64(
-        s_hi, s_lo, e_hi, e_lo, idx_dev, us_hi, us_lo, ue_hi, ue_lo
-    )
+    return jnp.concatenate([cnt[None], s_hi, s_lo, e_hi, e_lo])
 
 
 def ranges64(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
@@ -263,15 +247,51 @@ def ranges64(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
             dev, jnp.asarray(mat), jnp.asarray(lengths),
             n_steps=n_steps, seeded=seeded,
         )
+        bad = None
     else:
         # Seeded batches use the one-gather pair-window step (seed
         # ranges are nearly always narrower than a block); unseeded
         # batches start from whole-letter ranges spanning many blocks,
         # so they keep the classic two-gather step.
-        pair = seeded and _use_pair_rows64()
-        s_hi, s_lo, e_hi, e_lo = _ranges_steploop64(
+        pair = seeded and dev.pair_fused and _use_pair_rows64()
+        s_hi, s_lo, e_hi, e_lo, bad = _ranges_steploop64(
             dev, mat, lengths, seeded, pair
         )
+    flat = np.asarray(_join_for_readback64(s_hi, s_lo, e_hi, e_lo, bad))
+    cnt = int(flat[0])
+    s_hi_h, s_lo_h, e_hi_h, e_lo_h = (
+        flat[1 : 1 + b],
+        flat[1 + b : 1 + 2 * b],
+        flat[1 + 2 * b : 1 + 3 * b],
+        flat[1 + 3 * b :],
+    )
+    start = (s_hi_h.astype(np.uint64) << np.uint64(32)) | s_lo_h.astype(
+        np.uint64
+    )
+    end = (e_hi_h.astype(np.uint64) << np.uint64(32)) | e_lo_h.astype(
+        np.uint64
+    )
+    out = np.stack([start, end], axis=1)
+    if cnt:
+        # rare: some range outgrew the pair window mid-extension — re-run
+        # just those queries through the exact two-gather loop and merge
+        # on host (the full result is already host-resident)
+        from .utils import metrics
+
+        metrics.counter("search64.pair_fixup.flagged").add(cnt)
+        m = _round_up_pow2(min(cnt, b), floor=64)
+        idx = np.asarray(_flag_indices64(bad, m=m))[:cnt]
+        sub = ranges64_exact(dev, mat[idx], lengths[idx], seeded)
+        out[idx] = sub
+    return out
+
+
+def ranges64_exact(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
+                   seeded: bool) -> np.ndarray:
+    """ranges64 through the classic two-gather step only (fixup path)."""
+    s_hi, s_lo, e_hi, e_lo, _ = _ranges_steploop64(
+        dev, mat, lengths, seeded, pair=False
+    )
     start = (np.asarray(s_hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
         s_lo
     ).astype(np.uint64)

@@ -81,7 +81,7 @@ def main():
     lens = np.full(Q, KMER_LEN, dtype=np.int32)
 
     # answers must agree across layouts (device-side comparison)
-    sh, sl, eh, el = S64._ranges_steploop64(dev64, mat, lens, True, pair=True)
+    sh, sl, eh, el, _bad = S64._ranges_steploop64(dev64, mat, lens, True, pair=True)
     s32, e32 = S._ranges_steploop(dev32, mat, lens, seeded=True)
     same = int(
         np.asarray(
@@ -96,11 +96,11 @@ def main():
     log("wide ranges identical to 32-bit")
 
     def run_wide_pair():
-        sh, sl, eh, el = S64._ranges_steploop64(dev64, mat, lens, True, pair=True)
+        sh, sl, eh, el, _ = S64._ranges_steploop64(dev64, mat, lens, True, pair=True)
         sync(sl)
 
     def run_wide_classic():
-        sh, sl, eh, el = S64._ranges_steploop64(dev64, mat, lens, True, pair=False)
+        sh, sl, eh, el, _ = S64._ranges_steploop64(dev64, mat, lens, True, pair=False)
         sync(sl)
 
     def run_32_pair():

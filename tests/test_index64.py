@@ -365,3 +365,28 @@ def test_wide_seed_table_widened_and_chunked_bfs_agree(rng):
     np.testing.assert_array_equal(np.asarray(wide_dev.seed_table), np.asarray(bfs))
     np.testing.assert_array_equal(np.asarray(bfs), np.asarray(bfs_chunked))
     index._device_cache = None
+
+
+def test_wide_compact_layout_opt_out(rng, monkeypatch):
+    """AWFM_PAIR_ROWS=0 keeps the compact single-block wide layout
+    (amino rows back to 384 B) and the classic two-gather step, with
+    identical results."""
+    monkeypatch.setenv("AWFM_PAIR_ROWS", "0")
+    seq = random_sequence(rng, 3000, AlphabetType.AMINO)
+    index = create_index(seq, _cfg(AlphabetType.AMINO))
+    narrow = SearchEngine(index)
+    dev = index.to_device(refresh=True, wide=True)
+    assert not dev.pair_fused
+    assert dev.packed.shape[1] == 384  # 5*32 planes + 21*8 milestones
+    wide = SearchEngine(dev)
+    wide.host_index = index
+    kmers = [
+        random_kmer(rng, int(rng.integers(2, 10)), AlphabetType.AMINO)
+        for _ in range(100)
+    ]
+    np.testing.assert_array_equal(wide.count(kmers), narrow.count(kmers))
+    got = wide.locate(kmers[:30])
+    want = narrow.locate(kmers[:30])
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    index._device_cache = None
