@@ -47,6 +47,9 @@ BASELINE_COUNT_QPS = 3.5e6
 BASELINE_LOCATE_QPS = 2.5e6
 
 NUM_BASES = int(os.environ.get("AWFM_BENCH_BASES", 64_000_000))
+# 1M queries = one compiled chunk shape; every published number uses
+# this protocol. AWFM_BENCH_QUERIES=4194304 runs 4 chunks and amortizes
+# each stage's single host sync over 4x the work (~+4% expected).
 NUM_QUERIES = int(os.environ.get("AWFM_BENCH_QUERIES", 1_048_576))
 KMER_LEN = int(os.environ.get("AWFM_BENCH_KMER_LEN", 25))
 SEED_K = int(os.environ.get("AWFM_BENCH_SEED_K", 12))
