@@ -390,3 +390,30 @@ def test_wide_compact_layout_opt_out(rng, monkeypatch):
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a, b)
     index._device_cache = None
+
+
+def test_pair_step_overflow_flag_u64_oracle(rng):
+    """The pair-window overflow flag must equal the u64 oracle
+    e - ((s-1) & ~0xFF) >= 512 for arbitrary 64-bit ranges, including
+    windows that straddle a 2^32 boundary (where the hi-word borrow
+    logic is the only thing deciding the flag)."""
+    letters = rng.integers(0, 6, size=(4, 256)).astype(np.uint8)
+    dev, _, _ = _synthetic_wide_dev(letters, base=0)
+    s = rng.integers(1, 2**63, size=1024, dtype=np.uint64)
+    # half narrow widths, half huge; plus adversarial near-2^32 windows
+    width = np.where(
+        rng.random(1024) < 0.5,
+        rng.integers(0, 1000, size=1024, dtype=np.uint64),
+        rng.integers(0, 2**40, size=1024, dtype=np.uint64),
+    )
+    s[:64] = np.uint64(2**32) - rng.integers(1, 300, size=64, dtype=np.uint64)
+    width[:64] = rng.integers(0, 600, size=64, dtype=np.uint64)
+    e = s + width
+    want = (e - ((s - np.uint64(1)) & ~np.uint64(0xFF))) >= np.uint64(512)
+    sh, sl = map(jnp.asarray, r64.split_u64_host(s))
+    eh, el = map(jnp.asarray, r64.split_u64_host(e))
+    lt = jnp.zeros(1024, dtype=jnp.int32)
+    *_, bad = r64.backward_step64_pair(
+        dev, sh, sl, eh, el, lt, jnp.zeros(1024, dtype=bool)
+    )
+    np.testing.assert_array_equal(np.asarray(bad), want)
