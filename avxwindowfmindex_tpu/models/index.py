@@ -455,8 +455,13 @@ class FmIndex:
             pair = jnp.asarray(pack_pair_rows_from_blocks(packed, self.alphabet))
         if self.kmer_seed_table is not None:
             seed_dev = jnp.asarray(self.kmer_seed_table.astype(np.uint32))
-        elif self._device_cache is not None:
+        elif isinstance(self._device_cache, DeviceIndex):
             seed_dev = self._device_cache.seed_table  # device-built table
+        elif self._device_cache is not None:
+            # wide cache: (A^k, 4) [s_lo, s_hi, e_lo, e_hi] — narrow it
+            # (values < 2^32 here by construction; the hi words are 0)
+            st64 = self._device_cache.seed_table
+            seed_dev = jnp.stack([st64[:, 0], st64[:, 2]], axis=1)
         else:
             # placeholder until the builder attaches the real table
             seed_dev = jnp.zeros((1, 2), dtype=jnp.uint32)

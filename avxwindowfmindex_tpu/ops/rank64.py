@@ -365,18 +365,9 @@ def backward_step64(
     return ns_hi, ns_lo, ne_hi, ne_lo
 
 
-_PAIR_IOTA = np.arange(64, dtype=np.int32)
-
-
-def _inclusive_mask_pair64(local):
-    """(B, 64) uint8 inclusive mask, local in [0, 512) within a pair row."""
-    byte_idx = (local >> 3)[:, None]
-    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
-    low = (jnp.uint8(2) << bit_idx) - jnp.uint8(1)
-    b = _PAIR_IOTA[None, :]
-    return jnp.where(
-        b < byte_idx, jnp.uint8(0xFF), jnp.where(b == byte_idx, low, jnp.uint8(0))
-    )
+# the (B, 64)-byte inclusive pair-window mask is layout-generic — share
+# the 32-bit path's implementation
+from .rank import _inclusive_mask_pair as _inclusive_mask_pair64
 
 
 def backward_step64_pair(

@@ -155,7 +155,8 @@ class DistributedSearchEngine(SearchEngine):
                 # + replicated-table gathers, no collectives, and no
                 # monolithic scan program to compile on pod runtimes
                 s, e = _ranges_steploop(
-                    dev, sub_mat, sub_len, seeded, put=self._shard
+                    dev, sub_mat, sub_len, seeded, put=self._shard,
+                    pad_multiple=self.n_dev,
                 )
                 return (
                     np.asarray(s, dtype=np.uint64),

@@ -208,7 +208,7 @@ def _use_pair_rows(dev) -> bool:
 
 
 def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool,
-                     put=None, defer=None):
+                     put=None, defer=None, pad_multiple: int = 1):
     """Host-driven extension loop; bit-identical to the scan kernels.
 
     ``put`` maps host arrays onto the device(s); pass a sharding
@@ -224,7 +224,8 @@ def _ranges_steploop(dev, mat: np.ndarray, lengths: np.ndarray, seeded: bool,
     classic step.
     """
     if seeded and _use_pair_rows(dev):
-        return _ranges_steploop_pair(dev, mat, lengths, put, defer)
+        return _ranges_steploop_pair(dev, mat, lengths, put, defer,
+                                     pad_multiple)
     return _ranges_steploop_classic(dev, mat, lengths, seeded, put)
 
 
@@ -312,7 +313,7 @@ def _ranges_steploop_classic(dev, mat: np.ndarray, lengths: np.ndarray,
 
 
 def _ranges_steploop_pair(dev, mat: np.ndarray, lengths: np.ndarray, put=None,
-                          defer=None):
+                          defer=None, pad_multiple: int = 1):
     """Seeded extension with one-gather pair steps + flagged re-runs."""
     if put is None:
         put = jnp.asarray
@@ -334,11 +335,12 @@ def _ranges_steploop_pair(dev, mat: np.ndarray, lengths: np.ndarray, put=None,
             dev, sub_mat, sub_len, True, put
         ),
         defer,
+        pad_multiple,
     )
 
 
 def _fixup_flagged(dev, mat, lengths, start, end, bad, classic_fn,
-                   defer=None):
+                   defer=None, pad_multiple: int = 1):
     """Re-run flagged queries through an exact classic path.
 
     ONE scalar readback when nothing flagged (the common case); else the
@@ -360,7 +362,8 @@ def _fixup_flagged(dev, mat, lengths, start, end, bad, classic_fn,
         defer.append((
             _flag_count(bad),
             lambda: _fixup_flagged(
-                dev, mat, lengths, start, end, bad, classic_fn
+                dev, mat, lengths, start, end, bad, classic_fn,
+                pad_multiple=pad_multiple,
             ),
         ))
         return start, end
@@ -372,7 +375,9 @@ def _fixup_flagged(dev, mat, lengths, start, end, bad, classic_fn,
     b = mat.shape[0]
     if cnt > b // 4:
         return classic_fn(mat, lengths)
-    m = _round_up_pow2(cnt, floor=64)
+    # the sub-batch must satisfy the caller's sharding divisibility
+    # (DistributedSearchEngine shards over n_dev devices)
+    m = _round_up(_round_up_pow2(cnt, floor=64), pad_multiple)
     idx_dev = _flag_indices(bad, m=m)
     idx = np.asarray(idx_dev)
     sub_s, sub_e = classic_fn(mat[idx], lengths[idx])
@@ -657,12 +662,26 @@ def _backtrace_resolve(dev, positions):
 
 @jax.jit
 def _total_hits(start, end):
-    """Sum of range lengths over a batch (scalar, for sizing buffers)."""
+    """Exact sum of range lengths -> (2,) uint32 [wrap_count, low].
+
+    total = wrap_count * 2^32 + low. A plain uint32 sum silently wraps
+    past 2^32 total hits (e.g. a million high-frequency kmers over a
+    genome), undersizing locate capacity; the wrap count is recovered
+    from the uint32 cumsum (an overflow at element i shows as
+    cs[i] < cs[i-1]), keeping the whole computation in 32-bit lanes.
+    Combine with ``total_hits_host``.
+    """
     valid = start <= end
-    return jnp.sum(
-        jnp.where(valid, end - start + jnp.uint32(1), jnp.uint32(0)),
-        dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.uint32,
-    )
+    counts = jnp.where(valid, end - start + jnp.uint32(1), jnp.uint32(0))
+    cs = jnp.cumsum(counts.astype(jnp.uint32))
+    wraps = jnp.sum((cs[1:] < cs[:-1]).astype(jnp.uint32))
+    return jnp.stack([wraps, cs[-1]])
+
+
+def total_hits_host(start, end) -> int:
+    """Exact total hit count of a device range batch as a python int."""
+    hi_lo = np.asarray(_total_hits(start, end))
+    return (int(hi_lo[0]) << 32) + int(hi_lo[1])
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -859,7 +878,31 @@ class SearchEngine:
                 r = search64.ranges64(dev, sub_mat, sub_len, seeded)
                 return r[:, 0], r[:, 1]
             if _use_step_loop():
-                s, e = _ranges_steploop(dev, sub_mat, sub_len, seeded)
+                # fold the pair-window flag check into the ONE result
+                # readback (defer protocol): the common clean batch pays
+                # a single host sync for flags + start + end together
+                pend = []
+                s, e = _ranges_steploop(
+                    dev, sub_mat, sub_len, seeded, defer=pend
+                )
+                flat = np.asarray(
+                    jnp.concatenate(
+                        [c[None].astype(jnp.uint32) for c, _ in pend]
+                        + [s, e]
+                    )
+                )
+                nf = len(pend)
+                if nf and flat[:nf].any():
+                    s, e = pend[0][1]()  # rare: exact re-run of flagged
+                    return (
+                        np.asarray(s, dtype=np.uint64),
+                        np.asarray(e, dtype=np.uint64),
+                    )
+                b = s.shape[0]
+                return (
+                    flat[nf : nf + b].astype(np.uint64),
+                    flat[nf + b :].astype(np.uint64),
+                )
             elif seeded:
                 s, e = _seeded_ranges(
                     dev, jnp.asarray(sub_mat), jnp.asarray(sub_len),

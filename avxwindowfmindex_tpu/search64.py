@@ -24,13 +24,19 @@ import numpy as np
 from .ops import rank64 as r64
 from .ops.rank64 import DeviceIndex64
 
+# shared drivers/helpers (search.py imports this module only lazily, so
+# the module-level import is cycle-free); _flag_count/_flag_indices are
+# batch-shape-generic and shared with the 32-bit pair-fixup path
+from .search import (
+    _flag_count as _flag_count64,
+    _flag_indices as _flag_indices64,
+    _fuse_steps,
+    _round_up_pow2,
+    _use_step_loop,
+)
+
 _U0 = jnp.uint32(0)
 _U1 = jnp.uint32(1)
-
-
-def _round_up_pow2(n: int, floor: int = 16) -> int:
-    n = max(n, floor)
-    return 1 << (n - 1).bit_length()
 
 
 # ---------------------------------------------------------------------------
@@ -96,16 +102,6 @@ def _steps_fused64_pair(dev, s_hi, s_lo, e_hi, e_lo, bad, *letter_cols, seg):
     return s_hi, s_lo, e_hi, e_lo, bad
 
 
-@jax.jit
-def _flag_count64(bad):
-    return jnp.sum(bad, dtype=jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("m",))
-def _flag_indices64(bad, *, m):
-    return jnp.nonzero(bad, size=m, fill_value=0)[0].astype(jnp.int32)
-
-
 def _use_pair_rows64() -> bool:
     import os
 
@@ -150,16 +146,6 @@ def _ranges_scan64(dev, kmers, lengths, *, n_steps, seeded):
     return s_hi, s_lo, e_hi, e_lo
 
 
-def _use_step_loop() -> bool:
-    return jax.default_backend() != "cpu"
-
-
-def _fuse_steps() -> int:
-    import os
-
-    return max(1, int(os.environ.get("AWFM_FUSE_STEPS", "4")))
-
-
 def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
                        seeded: bool, pair: bool):
     """Host-driven extension loop -> device (s_hi, s_lo, e_hi, e_lo, bad).
@@ -195,11 +181,16 @@ def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
     letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
     active = pos >= 0
     bad = jnp.zeros(b, dtype=bool) if pair else None
+    # ONE bulk host->device put of the letters matrix, then device-side
+    # column slices — per-column transfers measured 2.8x slower end-to-
+    # end on tunneled runtimes (experiments/ab_r2_devmat_results.txt;
+    # same pattern as search._steploop_letters)
+    letters_dev = jnp.asarray(letters) if n_steps > 0 else None
     if bool(active.all()):
         fuse = _fuse_steps()
         for lo in range(0, n_steps, fuse):
             seg = list(range(lo, min(lo + fuse, n_steps)))
-            cols = [jnp.asarray(letters[:, t]) for t in seg]
+            cols = [letters_dev[:, t] for t in seg]
             if pair:
                 s_hi, s_lo, e_hi, e_lo, bad = _steps_fused64_pair(
                     dev, s_hi, s_lo, e_hi, e_lo, bad, *cols, seg=len(seg)
@@ -209,9 +200,10 @@ def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
                     dev, s_hi, s_lo, e_hi, e_lo, *cols, seg=len(seg)
                 )
     else:
+        active_dev = jnp.asarray(active)
         for t in range(n_steps):
-            col = jnp.asarray(letters[:, t])
-            act = jnp.asarray(active[:, t])
+            col = letters_dev[:, t]
+            act = active_dev[:, t]
             if pair:
                 s_hi, s_lo, e_hi, e_lo, bad = _step_masked64_pair(
                     dev, s_hi, s_lo, e_hi, e_lo, bad, col, act
@@ -343,8 +335,12 @@ def _scatter_back64(p_hi, p_lo, off, idx, s_hi, s_lo, s_off):
 def backtrace_all64(dev, p_hi, p_lo):
     """Backtrace a device batch to sampled positions -> (p_hi, p_lo, off).
 
-    Same compaction driver as search.backtrace_all: fixed-trip chunks,
-    then geometrically smaller compacted straggler batches.
+    Host-driven compaction: fixed-trip chunks, then geometrically
+    smaller compacted straggler batches, with one small undone-count
+    readback per level. NOTE: unlike search.backtrace_all (rebuilt
+    sync-free with nested on-device compaction), this capacity-path
+    driver tolerates a few ~30 ms syncs per 64K chunk; adopt the
+    sync-free schedule here if wide locate ever becomes a hot path.
     """
     n_steps = min(64, max(4, 2 * dev.ratio))
     off = jnp.zeros_like(p_lo)

@@ -93,7 +93,7 @@ def main():
         _ranges_steploop,
         _resolve_samples,
         _round_up,
-        _total_hits,
+        total_hits_host,
         backtrace_all,
         locate_flat_device,
     )
@@ -236,9 +236,9 @@ def main():
             dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
         )
         chunk_ranges.append((s, e))
-        total_hits += int(np.asarray(_total_hits(s, e)))
+        total_hits += total_hits_host(s, e)
     cap = _round_up(
-        max(int(np.asarray(_total_hits(s, e))) for s, e in chunk_ranges), 65536
+        max(total_hits_host(s, e) for s, e in chunk_ranges), 65536
     )
     _log(f"total hits {total_hits} over {NUM_QUERIES} queries; capacity {cap}")
 

@@ -101,7 +101,7 @@ def main():
         ]
     )
 
-    cap = S._round_up(int(np.asarray(S._total_hits(s0, e0))), 65536)
+    cap = S._round_up(S.total_hits_host(s0, e0), 65536)
 
     def run_e2e(single_ranges):
         if single_ranges:

@@ -123,7 +123,7 @@ def main():
     os.environ.pop("AWFM_FUSE_BACKTRACE_PAIR", None)
 
     cap = S._round_up(
-        int(np.asarray(S._total_hits(s0, e0))), 65536
+        S.total_hits_host(s0, e0), 65536
     )
     log(f"locate_all capacity {cap}")
 

@@ -105,7 +105,7 @@ def main():
         finish(hits[0], pend, lambda: None)
 
     s0, e0 = S._ranges_steploop(dev, mat, lens, seeded=True)
-    cap = S._round_up(int(np.asarray(S._total_hits(s0, e0))), 65536)
+    cap = S._round_up(S.total_hits_host(s0, e0), 65536)
     log(f"locate_all capacity {cap}")
 
     def run_locate_all():

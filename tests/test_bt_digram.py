@@ -112,7 +112,7 @@ def test_locate_flat_device_with_bt(rng):
     ranges = engine.find_ranges(kmers)
     s = jnp.asarray(ranges[:, 0].astype(np.uint32))
     e = jnp.asarray(ranges[:, 1].astype(np.uint32))
-    total = int(np.asarray(search_mod._total_hits(s, e)))
+    total = search_mod.total_hits_host(s, e)
     cap = search_mod._round_up_pow2(max(total, 16))
     hits, qid, mask = search_mod.locate_flat_device(dev, s, e, capacity=cap, bt=bt)
     hits = np.asarray(hits)[np.asarray(mask)]

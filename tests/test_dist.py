@@ -86,3 +86,34 @@ def test_dist_steploop_matches(built, rng, monkeypatch):
     kmers = [random_kmer(rng, int(rng.integers(2, 9)), AlphabetType.DNA)
              for _ in range(80)]
     np.testing.assert_array_equal(dist.count(kmers), single.count(kmers))
+
+
+def test_dist_steploop_pair_fixup_on_nonpow2_mesh(rng, monkeypatch):
+    """A flagged pair-window re-run inside the sharded step loop must
+    pad its sub-batch to the mesh size — on a 6-device mesh the pow2
+    sub-batch (64) is not divisible by n_dev and used to crash the
+    device_put in the exact-rerun path."""
+    import avxwindowfmindex_tpu.parallel.dist as dist_mod
+    from avxwindowfmindex_tpu.utils import metrics
+
+    monkeypatch.setattr(dist_mod, "_use_step_loop", lambda: True)
+    # low-complexity corpus: seeded ranges stay wider than the pair
+    # window, forcing flags on every seeded batch
+    seq = bytes(rng.choice(np.frombuffer(b"AC", np.uint8), size=4000))
+    cfg = IndexConfiguration(
+        suffix_array_compression_ratio=4,
+        kmer_length_in_seed_table=3,
+        alphabet_type=AlphabetType.DNA,
+    )
+    index = create_index(seq, cfg)
+    flagged_before = metrics.snapshot().get("search.pair_fixup.flagged", 0)
+    dist = DistributedSearchEngine(index, make_query_mesh(6))
+    single = SearchEngine(index)
+    kmers = [b"ACACACAC", b"AAAA", b"CCCCCC", b"ACAC", b"CACA"] + [
+        random_kmer(rng, int(rng.integers(3, 8)), AlphabetType.DNA)
+        for _ in range(40)
+    ]
+    np.testing.assert_array_equal(dist.count(kmers), single.count(kmers))
+    assert metrics.snapshot().get(
+        "search.pair_fixup.flagged", 0
+    ) > flagged_before

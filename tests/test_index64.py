@@ -417,3 +417,21 @@ def test_pair_step_overflow_flag_u64_oracle(rng):
         dev, sh, sl, eh, el, lt, jnp.zeros(1024, dtype=bool)
     )
     np.testing.assert_array_equal(np.asarray(bad), want)
+
+
+def test_narrow_rebuild_after_wide_cache(rng):
+    """Rebuilding the narrow device view while a WIDE cache is installed
+    must not reuse the (A^k, 4) wide seed table as the (A^k, 2) narrow
+    one (it silently zeroed every seeded count before the fix)."""
+    seq = random_sequence(rng, 3000, AlphabetType.DNA)
+    index = create_index(seq, _cfg(k=3))
+    kmers = [
+        random_kmer(rng, int(rng.integers(3, 9)), AlphabetType.DNA)
+        for _ in range(64)
+    ]
+    want = SearchEngine(index).count(kmers)
+    assert want.sum() > 0
+    index.to_device(refresh=True, wide=True)  # installs the wide cache
+    got = SearchEngine(index).count(kmers)  # narrow rebuild from wide cache
+    np.testing.assert_array_equal(got, want)
+    index._device_cache = None

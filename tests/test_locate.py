@@ -100,7 +100,7 @@ def test_locate_flat_device_matches_host(rng, monkeypatch, steploop):
     ranges = engine.find_ranges(kmers)
     s = jnp.asarray(ranges[:, 0].astype(np.uint32))
     e = jnp.asarray(ranges[:, 1].astype(np.uint32))
-    total = int(np.asarray(search_mod._total_hits(s, e)))
+    total = search_mod.total_hits_host(s, e)
     assert total == sum(len(w) for w in want_lists)
     cap = search_mod._round_up_pow2(total, floor=64)
     hits, qid, mask = search_mod.locate_flat_device(engine.dev, s, e, capacity=cap)
@@ -152,3 +152,19 @@ def test_backtrace_truncation_net(rng, use_bt):
     p, off = search_mod.backtrace_all(dev, jnp.full((b,), np.uint32(deep)), bt)
     assert (np.asarray(p) == int(np.asarray(want_p[0]))).all()
     assert (np.asarray(off) == int(np.asarray(want_off[0]))).all()
+
+
+def test_total_hits_exact_past_2_32(rng):
+    """total_hits_host must not wrap at 2^32 total hits (u32 cumsum
+    wrap-count formulation)."""
+    import jax.numpy as jnp
+    from avxwindowfmindex_tpu import search as search_mod
+
+    start = jnp.asarray(np.ones(64, dtype=np.uint32))
+    width = rng.integers(0, 2**31, size=64, dtype=np.uint64)
+    end_np = (1 + width).astype(np.uint32)
+    end = jnp.asarray(end_np)
+    want = int(np.sum(end_np.astype(np.uint64)))  # sum of (end - 1 + 1)
+    assert want > 2**32  # the test must actually cross the boundary
+    got = search_mod.total_hits_host(start, end)
+    assert got == want, (got, want)

@@ -63,11 +63,13 @@ def test_pair_step_flags_and_fixup(rng, steploop, monkeypatch):
     fired = []
     real_fixup = search_mod._fixup_flagged
 
-    def spy(dev, mat, lengths, start, end, bad, classic_fn, defer=None):
+    def spy(dev, mat, lengths, start, end, bad, classic_fn, defer=None,
+            pad_multiple=1):
         import numpy as _np
 
         fired.append(int(_np.asarray(search_mod._flag_count(bad))))
-        return real_fixup(dev, mat, lengths, start, end, bad, classic_fn, defer)
+        return real_fixup(dev, mat, lengths, start, end, bad, classic_fn,
+                          defer, pad_multiple)
 
     monkeypatch.setattr(search_mod, "_fixup_flagged", spy)
     # poly-A kmers keep ranges wide through MANY steps -> flags fire
