@@ -153,14 +153,31 @@ class DistributedSearchEngine(SearchEngine):
             if _use_step_loop():
                 # per-step GSPMD-partitioned programs: batch elementwise
                 # + replicated-table gathers, no collectives, and no
-                # monolithic scan program to compile on pod runtimes
+                # monolithic scan program to compile on pod runtimes.
+                # The pair-window flag count folds into the ONE result
+                # readback (defer protocol, as in SearchEngine).
+                pend = []
                 s, e = _ranges_steploop(
                     dev, sub_mat, sub_len, seeded, put=self._shard,
-                    pad_multiple=self.n_dev,
+                    defer=pend, pad_multiple=self.n_dev,
                 )
+                flat = np.asarray(
+                    jnp.concatenate(
+                        [c[None].astype(jnp.uint32) for c, _ in pend]
+                        + [s, e]
+                    )
+                )
+                nf = len(pend)
+                if nf and flat[:nf].any():
+                    s, e = pend[0][1]()  # rare: exact re-run of flagged
+                    return (
+                        np.asarray(s, dtype=np.uint64),
+                        np.asarray(e, dtype=np.uint64),
+                    )
+                b = s.shape[0]
                 return (
-                    np.asarray(s, dtype=np.uint64),
-                    np.asarray(e, dtype=np.uint64),
+                    flat[nf : nf + b].astype(np.uint64),
+                    flat[nf + b :].astype(np.uint64),
                 )
             jm = self._shard(sub_mat)
             jl = self._shard(sub_len)
