@@ -187,3 +187,22 @@ def test_deferred_fixup_exactness(rng, steploop):
         want2 = eng.find_ranges(clean)
         np.testing.assert_array_equal(np.asarray(s2)[:n2], want2[:, 0])
         np.testing.assert_array_equal(np.asarray(e2)[:n2], want2[:, 1])
+
+
+def test_engine_steploop_single_readback_fold(rng, steploop):
+    """The public engine's step-loop branch joins [flags, start, end]
+    into one readback; flagged batches must still produce exact counts
+    (vs the scan-mode engine) through the rare-redo branch."""
+    seq = _repeat_rich_sequence(rng, 6000)
+    index = create_index(seq, _cfg(k=2))
+    eng = SearchEngine(index)
+    kmers = [b"AAAA", b"AAAAAAA", b"AAAAAAAAAA", b"ACAAAAAT"] + [
+        random_kmer(rng, int(rng.integers(2, 10)), AlphabetType.DNA)
+        for _ in range(60)
+    ]
+    got = eng.count(kmers)
+    want = np.array(
+        [count_occurrences(seq, k, AlphabetType.DNA) for k in kmers],
+        dtype=np.uint64,
+    )
+    np.testing.assert_array_equal(got, want)
