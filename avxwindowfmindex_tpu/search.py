@@ -694,8 +694,8 @@ def enumerate_range_positions(start, end, *, capacity):
     flat position list with a static-size ``jnp.repeat`` instead.
 
     ``capacity`` must be >= the total hit count (get it from
-    ``_total_hits``; the call recompiles per distinct capacity, so round
-    it up coarsely). Returns (positions, query_ids, valid_mask), each
+    ``total_hits_host``; the call recompiles per distinct capacity, so
+    round it up coarsely). Returns (positions, query_ids, valid_mask), each
     (capacity,); positions/query_ids beyond the total are 0-filled with
     valid_mask False. Hits appear grouped by query in range order —
     identical content and order to the reference's per-query
