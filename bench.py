@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 import time
 
 import sys
@@ -41,6 +42,49 @@ import numpy as np
 
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+# Local relay ports the axon PJRT plugin dials (the container is
+# zero-egress; the relay is the only path to the TPU). If the relay
+# daemon has died, the first device op freezes in a retry loop forever —
+# fail loudly instead so the driver records a clean error, not a hang.
+_RELAY_PORTS = (8082, 8083, 8087, 8092)
+
+
+def _await_relay():
+    """Fail fast (exit 2) if the TPU tunnel is down, after a grace wait.
+
+    No-op off the tunnel: skipped when JAX_PLATFORMS requests cpu, when
+    the axon env marker is absent, or with AWFM_BENCH_SKIP_PROBE=1.
+    """
+    if os.environ.get("AWFM_BENCH_SKIP_PROBE") == "1":
+        return
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    wait_s = float(os.environ.get("AWFM_BENCH_RELAY_WAIT_S", 300))
+    deadline = time.time() + wait_s
+    while True:
+        for port in _RELAY_PORTS:
+            s = socket.socket()
+            s.settimeout(2)
+            try:
+                s.connect(("127.0.0.1", port))
+                return
+            except OSError:
+                pass
+            finally:
+                s.close()
+        if time.time() >= deadline:
+            _log(
+                f"TPU relay unreachable on ports {_RELAY_PORTS} after "
+                f"{wait_s:.0f}s — the first device op would hang forever; "
+                "aborting (AWFM_BENCH_SKIP_PROBE=1 overrides)"
+            )
+            sys.exit(2)
+        _log("TPU relay not reachable yet; retrying in 15s")
+        time.sleep(15)
 
 
 BASELINE_COUNT_QPS = 3.5e6
@@ -79,6 +123,7 @@ def _time_stage(name, fn, runs=None):
 
 def main():
     global NUM_QUERIES
+    _await_relay()
     import jax
     import jax.numpy as jnp
 
