@@ -373,9 +373,11 @@ def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
     pos_s = start - jnp.uint32(1)
     base = (pos_s >> jnp.uint32(8)).astype(jnp.int32)
     local_s = (pos_s & jnp.uint32(0xFF)).astype(jnp.int32)
-    local_e = (end - (pos_s & ~jnp.uint32(0xFF))).astype(jnp.int32)
-    overflow = local_e >= 512
-    local_e = jnp.minimum(local_e, 511)
+    # uint32 compare BEFORE the int32 cast: widths >= 2^31 would wrap
+    # negative and silently skip the flag (see rank.backward_step_pair)
+    delta_e = end - (pos_s & ~jnp.uint32(0xFF))
+    overflow = delta_e >= jnp.uint32(512)
+    local_e = jnp.minimum(delta_e, jnp.uint32(511)).astype(jnp.int32)
 
     rows = ng.packed[base]
     match = _pair_match(ng, rows, v)

@@ -240,9 +240,13 @@ def backward_step_pair(dev, start, end, letter_indices, bad, active=None):
     pos_s = start - jnp.uint32(1)
     base = (pos_s >> jnp.uint32(8)).astype(jnp.int32)
     local_s = (pos_s & jnp.uint32(0xFF)).astype(jnp.int32)
-    local_e = (end - (pos_s & ~jnp.uint32(0xFF))).astype(jnp.int32)
-    overflow = local_e >= 512
-    local_e = jnp.minimum(local_e, 511)
+    # the window offset can be up to bwtLength (~2^32): compare in
+    # uint32 BEFORE any int32 cast, or widths >= 2^31 wrap negative and
+    # silently escape the overflow flag (rank64.backward_step64_pair
+    # establishes the same contract in u64)
+    delta_e = end - (pos_s & ~jnp.uint32(0xFF))
+    overflow = delta_e >= jnp.uint32(512)
+    local_e = jnp.minimum(delta_e, jnp.uint32(511)).astype(jnp.int32)
 
     rows = dev.packed_pair[base]
     match = _match_bytes_pair(dev, rows, letter_indices)
@@ -289,6 +293,37 @@ def pair_occurrence_single(dev, positions, letter_indices):
     return _milestone_pair(dev, rows, letter_indices) + cnt.astype(jnp.uint32)
 
 
+def letter_at_rows(dev, rows, local):
+    """Letter index at each gathered block row's local position.
+
+    One bit per plane via a one-hot byte mask + popcount (no per-row
+    dynamic slices), then the compressed code inverse-mapped with an
+    arithmetic select (AwFmOccurrence.c:170-217 equivalent). Shared by
+    the single-device LF (letter_and_lf_at) and the range-sharded
+    backtrace segment (parallel/range_sharded.py), which masks and
+    psum-combines the result across shards.
+    """
+    byte_idx = (local >> 3)[:, None]
+    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
+    onehot = jnp.where(
+        _BYTE_IOTA[None, :] == byte_idx, jnp.uint8(1) << bit_idx, jnp.uint8(0)
+    )
+    code = jnp.zeros(local.shape, dtype=jnp.int32)
+    for i in range(dev.n_planes):
+        hit = jnp.sum(
+            lax.population_count(rows[:, i * 32 : (i + 1) * 32] & onehot),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        code = code | (hit << i)
+    v2i = np.asarray(alpha.vector_to_index_lut(dev.alphabet))
+    lett = jnp.zeros(local.shape, dtype=jnp.int32)
+    for v in range(1 << dev.n_planes):
+        if v2i[v]:
+            lett = lett + jnp.where(code == v, jnp.int32(v2i[v]), jnp.int32(0))
+    return lett
+
+
 def letter_and_lf_at(dev, positions):
     """Read the BWT letter at each position and compute its LF mapping.
 
@@ -302,25 +337,7 @@ def letter_and_lf_at(dev, positions):
     Returns (letter_indices, lf_positions) — both (B,).
     """
     rows, local = _gather_rows(dev, positions)
-    byte_idx = (local >> 3)[:, None]
-    bit_idx = (local & 7)[:, None].astype(jnp.uint8)
-    onehot = jnp.where(
-        _BYTE_IOTA[None, :] == byte_idx, jnp.uint8(1) << bit_idx, jnp.uint8(0)
-    )
-    code = jnp.zeros(positions.shape, dtype=jnp.int32)
-    for i in range(dev.n_planes):
-        hit = jnp.sum(
-            lax.population_count(rows[:, i * 32 : (i + 1) * 32] & onehot),
-            axis=1,
-            dtype=jnp.int32,
-        )
-        code = code | (hit << i)
-    # inverse code -> letter map, via arithmetic select over the LUT
-    v2i = np.asarray(alpha.vector_to_index_lut(dev.alphabet))
-    lett = jnp.zeros(positions.shape, dtype=jnp.int32)
-    for v in range(1 << dev.n_planes):
-        if v2i[v]:
-            lett = lett + jnp.where(code == v, jnp.int32(v2i[v]), jnp.int32(0))
+    lett = letter_at_rows(dev, rows, local)
     is_sentinel = lett == dev.sentinel
     # clamp the sentinel for the selects below; its result is overridden.
     lclip = jnp.minimum(lett, dev.cardinality)

@@ -69,7 +69,7 @@ def _sharded_backward_step(dev, start, end, letter_indices, active,
                            first_block, num_local_blocks):
     """backward_step with rank assembled by psum over the index axis."""
     b = start.shape[0]
-    c = dev.prefix_sums[letter_indices]
+    c = rank_ops._prefix_sum_select(dev, letter_indices)
     pos = jnp.concatenate([start - jnp.uint32(1), end])
     ll = jnp.concatenate([letter_indices, letter_indices])
     occ_local = _local_occurrence(dev, pos, ll, first_block, num_local_blocks)
@@ -96,6 +96,15 @@ class RangeShardedSearchEngine(SearchEngine):
             raise ValueError(
                 "range-sharded search requires the sampled suffix array in "
                 "memory (load with keep_suffix_array_in_memory=True)"
+            )
+        if int(index.bwt_length) >= 2**32:
+            # this engine's device positions/milestones/SA are uint32;
+            # packing a wider index would silently truncate them.
+            raise NotImplementedError(
+                "RangeShardedSearchEngine is 32-bit: bwtLength "
+                f"{index.bwt_length} >= 2^32 would truncate positions. "
+                "Use the single-chip wide layout (FmIndex.to_device, "
+                "automatic) or parallel.chunked.ChunkedCorpusIndex."
             )
         self._ascii_lut = (
             alpha.AA_ASCII_TO_INDEX
@@ -292,28 +301,7 @@ class RangeShardedSearchEngine(SearchEngine):
                 rows = dev.packed[safe]
                 local = (p % POSITIONS_PER_BLOCK).astype(jnp.int32)
                 # letter at position (masked to 0 off-shard, psum-combined)
-                byte_idx = (local >> 3)[:, None]
-                bit_idx = (local & 7)[:, None].astype(jnp.uint8)
-                onehot = jnp.where(
-                    rank_ops._BYTE_IOTA[None, :] == byte_idx,
-                    jnp.uint8(1) << bit_idx, jnp.uint8(0),
-                )
-                code = jnp.zeros(p.shape, dtype=jnp.int32)
-                for i in range(dev.n_planes):
-                    hit = jnp.sum(
-                        jax.lax.population_count(
-                            rows[:, i * 32 : (i + 1) * 32] & onehot
-                        ),
-                        axis=1, dtype=jnp.int32,
-                    )
-                    code = code | (hit << i)
-                v2i = np.asarray(alpha.vector_to_index_lut(dev.alphabet))
-                lett = jnp.zeros(p.shape, dtype=jnp.int32)
-                for v in range(1 << dev.n_planes):
-                    if v2i[v]:
-                        lett = lett + jnp.where(
-                            code == v, jnp.int32(v2i[v]), jnp.int32(0)
-                        )
+                lett = rank_ops.letter_at_rows(dev, rows, local)
                 lett = jax.lax.psum(jnp.where(owned, lett, 0), AXIS)
                 is_sentinel = lett == sentinel
                 lclip = jnp.minimum(lett, card)
@@ -323,7 +311,7 @@ class RangeShardedSearchEngine(SearchEngine):
                     jnp.uint32(0),
                 )
                 occ = jax.lax.psum(occ_local, AXIS)
-                lf = dev.prefix_sums[lclip] + occ - jnp.uint32(1)
+                lf = rank_ops._prefix_sum_select(dev, lclip) + occ - jnp.uint32(1)
                 lf = jnp.where(is_sentinel, jnp.uint32(0), lf)
                 p = jnp.where(done, p, lf)
                 off = jnp.where(done, off, off + jnp.uint32(1))

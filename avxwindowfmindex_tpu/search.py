@@ -1279,21 +1279,39 @@ class NgramSearchEngine(SearchEngine):
             clean = (mat[:n_real, :kmer_len] < self.dev.cardinality).all()
             if clean and kmer_len > k:
                 if _use_step_loop():
+                    # fold the pair-window flag check into the ONE
+                    # result readback (defer protocol) — same folded
+                    # pattern as SearchEngine.find_ranges_encoded and
+                    # bench.py; an undeferred fixup pays a second ~30 ms
+                    # host sync per batch on tunneled runtimes
+                    pend = []
                     s, e = _ngram_ranges_steploop(
-                        self.dev, self.ng, mat, kmer_len=kmer_len, seed_k=k
+                        self.dev, self.ng, mat, kmer_len=kmer_len,
+                        seed_k=k, defer=pend,
                     )
+                    flat = np.asarray(
+                        jnp.concatenate(
+                            [c[None].astype(jnp.uint32) for c, _ in pend]
+                            + [s, e]
+                        )
+                    )
+                    nf = len(pend)
+                    if nf and flat[:nf].any():
+                        s, e = pend[0][1]()  # rare: exact re-run
+                        s_h = np.asarray(s, dtype=np.uint64)
+                        e_h = np.asarray(e, dtype=np.uint64)
+                    else:
+                        b = s.shape[0]
+                        s_h = flat[nf : nf + b].astype(np.uint64)
+                        e_h = flat[nf + b :].astype(np.uint64)
                 else:
                     s, e = _ngram_seeded_uniform(
                         self.dev, self.ng, jnp.asarray(mat),
                         kmer_len=kmer_len, seed_k=k,
                     )
-                return np.stack(
-                    [
-                        np.asarray(s, dtype=np.uint64)[:n_real],
-                        np.asarray(e, dtype=np.uint64)[:n_real],
-                    ],
-                    axis=1,
-                )
+                    s_h = np.asarray(s, dtype=np.uint64)
+                    e_h = np.asarray(e, dtype=np.uint64)
+                return np.stack([s_h[:n_real], e_h[:n_real]], axis=1)
         return super().find_ranges(kmers)
 
 

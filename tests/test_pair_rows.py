@@ -189,6 +189,39 @@ def test_deferred_fixup_exactness(rng, steploop):
         np.testing.assert_array_equal(np.asarray(e2)[:n2], want2[:, 1])
 
 
+def test_pair_overflow_flag_for_u32_wide_ranges(rng):
+    """Widths >= 2^31 must still raise the pair-window flag.
+
+    Regression: the window offset was cast uint32->int32 BEFORE the
+    >= 512 comparison, so a range wider than 2^31 wrapped negative,
+    escaped the flag, and silently returned a collapsed range instead
+    of routing through the exact two-gather fixup.
+    """
+    import jax.numpy as jnp
+
+    from avxwindowfmindex_tpu.ops import ngram as ngram_ops
+    from avxwindowfmindex_tpu.ops import rank as rank_ops
+
+    seq = random_sequence(rng, 4000, AlphabetType.DNA)
+    index = create_index(seq, _cfg())
+    dev = index.to_device()
+    # synthetic ranges: [1, 2^31+5] (the int32-wrap width) and [1, 600]
+    # (an ordinary over-window width); both must flag
+    start = jnp.asarray(np.array([1, 1], dtype=np.uint32))
+    end = jnp.asarray(np.array([2**31 + 5, 600], dtype=np.uint32))
+    lett = jnp.zeros(2, dtype=jnp.int32)
+    bad = jnp.zeros(2, dtype=bool)
+    _, _, bad_out = rank_ops.backward_step_pair(dev, start, end, lett, bad)
+    assert bool(np.asarray(bad_out).all())
+
+    ng = ngram_ops.build_ngram_device(index, 2)
+    bad2 = jnp.zeros(2, dtype=bool)
+    _, _, bad2_out = ngram_ops.ngram_backward_step_pair(
+        ng, start, end, [lett, lett], bad2
+    )
+    assert bool(np.asarray(bad2_out).all())
+
+
 def test_engine_steploop_single_readback_fold(rng, steploop):
     """The public engine's step-loop branch joins [flags, start, end]
     into one readback; flagged batches must still produce exact counts

@@ -96,3 +96,13 @@ def test_sharded_backtrace_compaction_levels(rng):
     np.testing.assert_array_equal(
         sharded.resolve_positions(pos), single.resolve_positions(pos)
     )
+
+
+def test_wide_index_rejected_clearly(built):
+    """bwtLength >= 2^32 must raise, not silently truncate to uint32."""
+    import dataclasses
+
+    _, index = built
+    fake_wide = dataclasses.replace(index, bwt_length=2**32)
+    with pytest.raises(NotImplementedError, match="32-bit"):
+        RangeShardedSearchEngine(fake_wide, make_index_mesh(2))
