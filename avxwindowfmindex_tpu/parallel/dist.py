@@ -90,6 +90,19 @@ def _sharded_resolve_fn(mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=64)
+def _sharded_resolve64_fn(mesh: Mesh):
+    """Wide (hi/lo-u32) backtrace+resolve, query-sharded."""
+    from ..search64 import _backtrace_resolve64
+
+    mapped = _shard_map(
+        _backtrace_resolve64, mesh=mesh,
+        in_specs=(P(), P("q"), P("q")),
+        out_specs=(P("q"), P("q")),
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
 def _sharded_count_allgather_fn(mesh: Mesh, n_steps: int):
     """Count with an all_gather hit merge: every device ends with the
     full counts vector (the BASELINE.json north-star collective)."""
@@ -110,6 +123,37 @@ def _sharded_count_allgather_fn(mesh: Mesh, n_steps: int):
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_count_allgather64_fn(mesh: Mesh, n_steps: int):
+    """Wide (hi/lo-u32) count merge: range widths can exceed uint32, so
+    hi and lo count lanes are gathered separately and joined on host."""
+    from .. import search64
+    from ..ops import rank64 as r64
+
+    def body(dev, kmers, lengths):
+        s_hi, s_lo, e_hi, e_lo = search64._ranges_scan64(
+            dev, kmers, lengths, n_steps=n_steps, seeded=True
+        )
+        valid = r64.le64(s_hi, s_lo, e_hi, e_lo)
+        c_hi, c_lo = r64.add64_small(
+            *r64.sub64(e_hi, e_lo, s_hi, s_lo), jnp.uint32(1)
+        )
+        c_hi = jnp.where(valid, c_hi, jnp.uint32(0))
+        c_lo = jnp.where(valid, c_lo, jnp.uint32(0))
+        return (
+            jax.lax.all_gather(c_hi, "q", tiled=True),
+            jax.lax.all_gather(c_lo, "q", tiled=True),
+        )
+
+    mapped = _shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("q", None), P("q")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 class DistributedSearchEngine(SearchEngine):
     """Query-data-parallel search over a device mesh.
 
@@ -122,6 +166,9 @@ class DistributedSearchEngine(SearchEngine):
         super().__init__(index)
         self.mesh = mesh if mesh is not None else make_query_mesh()
         self.n_dev = self.mesh.devices.size
+        # DeviceIndex and DeviceIndex64 (wide, bwtLength >= 2^32) are
+        # both registered pytrees; wide batches route through
+        # search64.ranges64 with this engine's sharding hook below.
         self.dev = replicate_index(self.dev, self.mesh)
 
     # batch padding must be divisible by the mesh
@@ -150,6 +197,18 @@ class DistributedSearchEngine(SearchEngine):
                     sub_len, (0, pad),
                     constant_values=max(int(sub_len.max()), max(1, k)),
                 )
+            if self.wide:
+                from .. import search64
+
+                # hi/lo-u32 programs are GSPMD-partitionable the same
+                # way (batch elementwise + replicated-table gathers);
+                # the pair-window fixup sub-batch keeps mesh
+                # divisibility via pad_multiple
+                r = search64.ranges64(
+                    dev, sub_mat, sub_len, seeded,
+                    put=self._shard, pad_multiple=self.n_dev,
+                )
+                return r[:, 0], r[:, 1]
             if _use_step_loop():
                 # per-step GSPMD-partitioned programs: batch elementwise
                 # + replicated-table gathers, no collectives, and no
@@ -213,6 +272,17 @@ class DistributedSearchEngine(SearchEngine):
             # on-disk SA is host-side; fall back to the single-device path
             return super().resolve_positions(bwt_positions)
         b_pad = self._pad_batch(n)
+        if self.wide:
+            padded = np.zeros(b_pad, dtype=np.uint64)
+            padded[:n] = bwt_positions.astype(np.uint64)
+            hi = (padded >> np.uint64(32)).astype(np.uint32)
+            lo = (padded & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            h_hi, h_lo = _sharded_resolve64_fn(self.mesh)(
+                dev, self._shard(hi), self._shard(lo)
+            )
+            return (
+                np.asarray(h_hi[:n]).astype(np.uint64) << np.uint64(32)
+            ) | np.asarray(h_lo[:n]).astype(np.uint64)
         padded = np.zeros(b_pad, dtype=np.uint32)
         padded[:n] = bwt_positions.astype(np.uint32)
         fn = _sharded_resolve_fn(self.mesh)
@@ -232,8 +302,14 @@ class DistributedSearchEngine(SearchEngine):
                 lengths, (0, b_pad - len(lengths)),
                 constant_values=dev.kmer_length_in_seed_table,
             )
-        fn = _sharded_count_allgather_fn(
-            self.mesh, max(0, mat.shape[1] - dev.kmer_length_in_seed_table)
-        )
+        n_steps = max(0, mat.shape[1] - dev.kmer_length_in_seed_table)
+        if self.wide:
+            c_hi, c_lo = _sharded_count_allgather64_fn(self.mesh, n_steps)(
+                dev, self._shard(mat), self._shard(lengths)
+            )
+            return (
+                np.asarray(c_hi[:n]).astype(np.uint64) << np.uint64(32)
+            ) | np.asarray(c_lo[:n]).astype(np.uint64)
+        fn = _sharded_count_allgather_fn(self.mesh, n_steps)
         counts = fn(dev, self._shard(mat), self._shard(lengths))
         return np.asarray(counts[:n], dtype=np.uint64)

@@ -31,6 +31,7 @@ from .search import (
     _flag_count as _flag_count64,
     _flag_indices as _flag_indices64,
     _fuse_steps,
+    _round_up,
     _round_up_pow2,
     _use_step_loop,
 )
@@ -147,7 +148,7 @@ def _ranges_scan64(dev, kmers, lengths, *, n_steps, seeded):
 
 
 def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
-                       seeded: bool, pair: bool):
+                       seeded: bool, pair: bool, put=None):
     """Host-driven extension loop -> device (s_hi, s_lo, e_hi, e_lo, bad).
 
     ``pair``: route through the one-gather pair-window step
@@ -157,7 +158,14 @@ def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
     with pair=False (exact two-gather), mirroring
     search._ranges_steploop_pair. ranges64 folds the flag count into
     its single result readback — no extra host sync.
+
+    ``put`` maps host arrays onto the device(s); pass a sharding
+    device_put for query-data-parallel meshes (the per-step programs
+    are GSPMD-partitionable: batch-elementwise plus replicated-table
+    gathers, no collectives — same contract as search._ranges_steploop).
     """
+    if put is None:
+        put = jnp.asarray
     b, l = mat.shape
     if seeded:
         k = dev.kmer_length_in_seed_table
@@ -165,14 +173,14 @@ def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
             lengths[:, None] - k + np.arange(k)[None, :], 0, l - 1
         )
         s_hi, s_lo, e_hi, e_lo = _seed_lookup64(
-            dev, jnp.asarray(np.take_along_axis(mat, idxs, axis=1))
+            dev, put(np.take_along_axis(mat, idxs, axis=1))
         )
         n_steps = max(0, l - k)
         pos = lengths[:, None] - k - 1 - np.arange(n_steps)[None, :]
     else:
         s_hi, s_lo, e_hi, e_lo = _initial_range64(
             dev,
-            jnp.asarray(
+            put(
                 np.take_along_axis(mat, (lengths - 1)[:, None], axis=1)[:, 0]
             ),
         )
@@ -180,12 +188,12 @@ def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
         pos = lengths[:, None] - 2 - np.arange(n_steps)[None, :]
     letters = np.take_along_axis(mat, np.clip(pos, 0, l - 1), axis=1)
     active = pos >= 0
-    bad = jnp.zeros(b, dtype=bool) if pair else None
+    bad = put(np.zeros(b, dtype=bool)) if pair else None
     # ONE bulk host->device put of the letters matrix, then device-side
     # column slices — per-column transfers measured 2.8x slower end-to-
     # end on tunneled runtimes (experiments/ab_r2_devmat_results.txt;
     # same pattern as search._steploop_letters)
-    letters_dev = jnp.asarray(letters) if n_steps > 0 else None
+    letters_dev = put(letters) if n_steps > 0 else None
     if bool(active.all()):
         fuse = _fuse_steps()
         for lo in range(0, n_steps, fuse):
@@ -200,7 +208,7 @@ def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
                     dev, s_hi, s_lo, e_hi, e_lo, *cols, seg=len(seg)
                 )
     else:
-        active_dev = jnp.asarray(active)
+        active_dev = put(active)
         for t in range(n_steps):
             col = letters_dev[:, t]
             act = active_dev[:, t]
@@ -229,14 +237,20 @@ def _join_for_readback64(s_hi, s_lo, e_hi, e_lo, bad):
 
 
 def ranges64(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
-             seeded: bool) -> np.ndarray:
-    """Final BWT ranges for an encoded batch -> (B, 2) uint64 host array."""
+             seeded: bool, put=None, pad_multiple: int = 1) -> np.ndarray:
+    """Final BWT ranges for an encoded batch -> (B, 2) uint64 host array.
+
+    ``put``/``pad_multiple``: see _ranges_steploop64 — sharding hook and
+    fixup sub-batch divisibility for query-data-parallel meshes
+    (parallel/dist.py shards over n_dev devices).
+    """
     b, l = mat.shape
     if not _use_step_loop():
         k = dev.kmer_length_in_seed_table
         n_steps = max(0, l - k) if seeded else l - 1
+        pp = put if put is not None else jnp.asarray
         s_hi, s_lo, e_hi, e_lo = _ranges_scan64(
-            dev, jnp.asarray(mat), jnp.asarray(lengths),
+            dev, pp(mat), pp(lengths),
             n_steps=n_steps, seeded=seeded,
         )
         bad = None
@@ -247,7 +261,7 @@ def ranges64(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
         # so they keep the classic two-gather step.
         pair = seeded and dev.pair_fused and _use_pair_rows64()
         s_hi, s_lo, e_hi, e_lo, bad = _ranges_steploop64(
-            dev, mat, lengths, seeded, pair
+            dev, mat, lengths, seeded, pair, put
         )
     flat = np.asarray(_join_for_readback64(s_hi, s_lo, e_hi, e_lo, bad))
     cnt = int(flat[0])
@@ -271,18 +285,22 @@ def ranges64(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
         from .utils import metrics
 
         metrics.counter("search64.pair_fixup.flagged").add(cnt)
-        m = _round_up_pow2(min(cnt, b), floor=64)
-        idx = np.asarray(_flag_indices64(bad, m=m))[:cnt]
-        sub = ranges64_exact(dev, mat[idx], lengths[idx], seeded)
+        # keep the FULL padded index set (duplicate index-0 fill entries
+        # recompute identical exact values) so the sub-batch shape is a
+        # bounded power of two — slicing to cnt would compile a fresh
+        # program set per distinct flag count (see search._fixup_flagged)
+        m = _round_up(_round_up_pow2(min(cnt, b), floor=64), pad_multiple)
+        idx = np.asarray(_flag_indices64(bad, m=m))
+        sub = ranges64_exact(dev, mat[idx], lengths[idx], seeded, put)
         out[idx] = sub
     return out
 
 
 def ranges64_exact(dev: DeviceIndex64, mat: np.ndarray, lengths: np.ndarray,
-                   seeded: bool) -> np.ndarray:
+                   seeded: bool, put=None) -> np.ndarray:
     """ranges64 through the classic two-gather step only (fixup path)."""
     s_hi, s_lo, e_hi, e_lo, _ = _ranges_steploop64(
-        dev, mat, lengths, seeded, pair=False
+        dev, mat, lengths, seeded, pair=False, put=put
     )
     start = (np.asarray(s_hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
         s_lo
@@ -379,6 +397,35 @@ def _resolve_samples64(dev, p_hi, p_lo, off):
     )
     w_hi, w_lo = r64.sub64(h_hi, h_lo, n_hi, n_lo)
     return r64.where64(over, w_hi, w_lo, h_hi, h_lo)
+
+
+@jax.jit
+def _backtrace_resolve64(dev, p_hi, p_lo):
+    """Single-program wide backtrace + resolve (for shard_map bodies).
+
+    The hi/lo counterpart of search._backtrace_resolve: a done-masked
+    ``while_loop`` LF-backtraces every position to a sampled one, then
+    resolves through the (lo, hi) sampled SA. Returns (hit_hi, hit_lo).
+    """
+
+    def cond(state):
+        _, _, _, done = state
+        return ~jnp.all(done)
+
+    def body(state):
+        ph, pl, off, done = state
+        _, lf_hi, lf_lo = r64.letter_and_lf_at64(dev, ph, pl)
+        ph2 = jnp.where(done, ph, lf_hi)
+        pl2 = jnp.where(done, pl, lf_lo)
+        off2 = jnp.where(done, off, off + _U1)
+        done2 = r64.mod_small64(ph2, pl2, dev.ratio) == _U0
+        return ph2, pl2, off2, done2
+
+    done0 = r64.mod_small64(p_hi, p_lo, dev.ratio) == _U0
+    ph, pl, off, _ = jax.lax.while_loop(
+        cond, body, (p_hi, p_lo, jnp.zeros_like(p_lo), done0)
+    )
+    return _resolve_samples64(dev, ph, pl, off)
 
 
 def resolve_positions64(engine, bwt_positions: np.ndarray) -> np.ndarray:

@@ -117,3 +117,56 @@ def test_dist_steploop_pair_fixup_on_nonpow2_mesh(rng, monkeypatch):
     assert metrics.snapshot().get(
         "search.pair_fixup.flagged", 0
     ) > flagged_before
+
+
+def test_dist_wide_matches_single_device(built, rng):
+    """A forced-wide DeviceIndex64 (hi/lo-u32, bwtLength >= 2^32 layout)
+    runs query-sharded: count, locate, and count_replicated must equal
+    the narrow single-device engine."""
+    seq, index = built
+    wide_dev = index.to_device(refresh=True, wide=True)
+    dist = DistributedSearchEngine(wide_dev, make_query_mesh(4))
+    assert dist.wide
+    single = SearchEngine(index)
+    kmers = [random_kmer(rng, int(rng.integers(2, 12)), AlphabetType.DNA)
+             for _ in range(64)]
+    np.testing.assert_array_equal(dist.count(kmers), single.count(kmers))
+    hits = dist.locate(kmers[:16])
+    want = single.locate(kmers[:16])
+    for a, b in zip(hits, want):
+        np.testing.assert_array_equal(a, b)
+    eligible = [random_kmer(rng, 8, AlphabetType.DNA) for _ in range(24)]
+    np.testing.assert_array_equal(
+        dist.count_replicated(eligible), single.count(eligible)
+    )
+    index._device_cache = None
+
+
+def test_dist_wide_steploop_pair_fixup(rng, monkeypatch):
+    """Wide + GSPMD step loop + pair-window flags firing on a non-pow2
+    mesh: the fixup sub-batch must keep mesh divisibility
+    (ranges64 pad_multiple) and stay exact."""
+    import avxwindowfmindex_tpu.search64 as search64_mod
+    from avxwindowfmindex_tpu.utils import metrics
+
+    monkeypatch.setattr(search64_mod, "_use_step_loop", lambda: True)
+    seq = bytes(rng.choice(np.frombuffer(b"AC", np.uint8), size=4000))
+    cfg = IndexConfiguration(
+        suffix_array_compression_ratio=4,
+        kmer_length_in_seed_table=3,
+        alphabet_type=AlphabetType.DNA,
+    )
+    index = create_index(seq, cfg)
+    flagged_before = metrics.snapshot().get("search64.pair_fixup.flagged", 0)
+    wide_dev = index.to_device(refresh=True, wide=True)
+    dist = DistributedSearchEngine(wide_dev, make_query_mesh(6))
+    single = SearchEngine(index)
+    kmers = [b"ACACACAC", b"AAAA", b"CCCCCC", b"ACAC", b"CACA"] + [
+        random_kmer(rng, int(rng.integers(3, 8)), AlphabetType.DNA)
+        for _ in range(40)
+    ]
+    np.testing.assert_array_equal(dist.count(kmers), single.count(kmers))
+    assert metrics.snapshot().get(
+        "search64.pair_fixup.flagged", 0
+    ) > flagged_before
+    index._device_cache = None
