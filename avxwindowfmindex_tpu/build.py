@@ -117,22 +117,29 @@ def _build_from_sanitized(
     # It STAYS on device; host copies materialize lazily for serde.
     import dataclasses as _dc
 
+    from .models.index import DeviceIndex as _DeviceIndex
     from .ops import seed_table as seed_mod
 
     dev = index.to_device()
-    table_dev = seed_mod.build_seed_table_device(
-        dev,
-        alpha.cardinality(config.alphabet_type),
-        config.kmer_length_in_seed_table,
-        prefix_sums_host=prefix_sums,
-    )
-    index._device_cache = _dc.replace(dev, seed_table=table_dev)
+    if isinstance(dev, _DeviceIndex):
+        table_dev = seed_mod.build_seed_table_device(
+            dev,
+            alpha.cardinality(config.alphabet_type),
+            config.kmer_length_in_seed_table,
+            prefix_sums_host=prefix_sums,
+        )
+        index._device_cache = _dc.replace(dev, seed_table=table_dev)
+    # else: wide layout (bwtLength >= 2^32) — _to_device_wide already ran
+    # the hi/lo device BFS (search64.build_seed_table_device64) and left
+    # the (A^k, 4) table attached; running the 32-bit builder here would
+    # crash on the missing prefix_sums field and clobber the wide table
 
     import jax
 
     if jax.default_backend() == "cpu":
         # no transfer cost on CPU: keep the host view eagerly available
-        index.kmer_seed_table = np.asarray(table_dev).astype(np.uint64)
+        # (seed_table_host joins the wide layout's hi/lo columns)
+        index.seed_table_host()
 
     if file_src is not None:
         from .io import awfmi
@@ -168,8 +175,16 @@ def create_index(
     if len(seq_arr) == 0:
         raise ValueError("sequence must be non-empty")
     sanitized = alpha.sanitize(seq_arr, config.alphabet_type)
+    # only materialize an original-sequence copy when it will be stored:
+    # at genome scale this is a multi-GB buffer held through the peak-
+    # memory suffix-array build
+    original = None
+    if config.store_original_sequence:
+        original = (
+            sequence if isinstance(sequence, bytes) else bytes(seq_arr)
+        )
     return _build_from_sanitized(
-        sanitized, bytes(seq_arr), config, None, file_src, sa_backend
+        sanitized, original, config, None, file_src, sa_backend
     )
 
 

@@ -375,6 +375,12 @@ class FmIndex:
         if self.kmer_seed_table is None:
             if self._device_cache is None:
                 raise ValueError("index has no seed table (not yet built)")
+            k = int(self.config.kmer_length_in_seed_table)
+            if self._device_cache.seed_table.shape[0] != self.cardinality**k:
+                # to_device() installs a (1, N) zeros placeholder until
+                # the builder attaches the real table — serializing it
+                # would silently write a bogus 16-byte seed table
+                raise ValueError("index has no seed table (not yet built)")
             st = np.asarray(self._device_cache.seed_table).astype(np.uint64)
             if st.shape[1] == 4:  # wide layout: [s_lo, s_hi, e_lo, e_hi]
                 st = np.stack(
@@ -420,7 +426,7 @@ class FmIndex:
     # -- device view --------------------------------------------------------
 
     def to_device(
-        self, devices=None, refresh: bool = False, wide: Optional[bool] = None
+        self, refresh: bool = False, wide: Optional[bool] = None
     ) -> DeviceIndex:
         """Upload the search-critical arrays to the default device(s).
 
@@ -508,10 +514,11 @@ class FmIndex:
             )
         import os
 
-        # pair-fused rows are free for nucleotide (they fill former row
-        # padding); amino pair rows cost +128 B/block, so the capacity-
-        # minded AWFM_PAIR_ROWS=0 keeps the compact 384 B amino layout
-        pair_fused = self.alphabet == AlphabetType.DNA or os.environ.get(
+        # pair-fused rows are free for nucleotide — DNA and RNA share the
+        # 256 B row either way (they fill former row padding); amino pair
+        # rows cost +128 B/block, so the capacity-minded AWFM_PAIR_ROWS=0
+        # keeps the compact 384 B amino layout
+        pair_fused = self.alphabet != AlphabetType.AMINO or os.environ.get(
             "AWFM_PAIR_ROWS", "1"
         ) != "0"
         packed = r64.pack_device_blocks64(

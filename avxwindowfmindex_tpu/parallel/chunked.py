@@ -75,7 +75,7 @@ class ChunkedCorpusIndex:
         return len(self.engines)
 
     def _check_query_lengths(self, kmers) -> None:
-        max_len = max(len(k) for k in kmers)
+        max_len = max((len(k) for k in kmers), default=0)
         if max_len > self.overlap + 1 and self.num_chunks > 1:
             raise ValueError(
                 f"query length {max_len} exceeds chunk overlap + 1 "
@@ -110,8 +110,6 @@ class ChunkedCorpusIndex:
         """
         if self._junction_engines is None:
             base_cfg = self.engines[0].dev
-            from ..models.config import IndexConfiguration
-
             cfg = IndexConfiguration(
                 suffix_array_compression_ratio=1,
                 kmer_length_in_seed_table=min(

@@ -155,26 +155,58 @@ def guard_bytes_from_full_sa(full_sa: np.ndarray, sa_length: int, ratio: int) ->
     return g + b"\x00" * (8 - len(g))
 
 
+# chunk budget (in bits) for the per-value bit matrices below; each
+# chunk's value count is rounded to a multiple of 8 so chunk bit-streams
+# land on byte boundaries and concatenate exactly
+_PACK_CHUNK = 1 << 23
+
+
 def pack_values(values: np.ndarray, width: int) -> np.ndarray:
-    """Little-endian bit-pack `values` at `width` bits each."""
+    """Little-endian bit-pack `values` at `width` bits each.
+
+    Chunked along the value axis (on 8-bit-aligned boundaries so chunk
+    outputs concatenate exactly): the per-value bit matrix is width x
+    8 bytes, which at hg38 scale (~4e8 samples, width 32) would be a
+    ~100 GB transient if materialized whole.
+    """
     values = np.asarray(values, dtype=np.uint64)
     if width < 1 or width > 64:
         raise ValueError("width must be in [1, 64]")
     shifts = np.arange(width, dtype=np.uint64)
-    bits = ((values[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little")
+    step = max(1, _PACK_CHUNK // width) * 8  # multiple of 8: byte-aligned
+    parts = []
+    for lo in range(0, len(values), step):
+        v = values[lo : lo + step]
+        bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.uint8
+        )
+        parts.append(np.packbits(bits.reshape(-1), bitorder="little"))
+    if not parts:
+        return np.zeros(0, dtype=np.uint8)
+    return np.concatenate(parts)
 
 
 def unpack_values(packed: np.ndarray, width: int, count: int) -> np.ndarray:
-    """Inverse of :func:`pack_values`; returns uint64 (count,)."""
+    """Inverse of :func:`pack_values`; returns uint64 (count,).
+
+    Chunked like pack_values to bound the unpacked bit matrix.
+    """
     packed = np.asarray(packed, dtype=np.uint8)
-    bits = np.unpackbits(packed, bitorder="little")
-    need = count * width
-    if len(bits) < need:
+    if count * width > len(packed) * 8:
         raise ValueError("packed buffer too short")
-    bits = bits[:need].reshape(count, width).astype(np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    step = max(1, _PACK_CHUNK // width) * 8  # multiple of 8: byte-aligned
+    out = np.empty(count, dtype=np.uint64)
+    for lo in range(0, count, step):
+        n = min(step, count - lo)
+        byte_lo = lo * width // 8  # exact: lo is a multiple of 8
+        byte_hi = (lo + n) * width // 8 + 1
+        bits = np.unpackbits(packed[byte_lo:byte_hi], bitorder="little")
+        bits = bits[: n * width].reshape(n, width).astype(np.uint64)
+        out[lo : lo + n] = (bits << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    return out
 
 
 def read_packed_value(buffer, width: int, index: int) -> int:

@@ -102,3 +102,17 @@ def test_count_without_junction_texts_falls_back(rng):
     )
     kmers = [random_kmer(rng, 6, AlphabetType.DNA) for _ in range(20)]
     np.testing.assert_array_equal(bare.count(kmers), built.count(kmers))
+
+
+def test_chunked_empty_query_list(rng):
+    """Empty batches raise the same clear error as SearchEngine (not the
+    opaque max()-of-empty-sequence crash _check_query_lengths used to
+    hit first)."""
+    seq = random_sequence(rng, 2500, AlphabetType.DNA)
+    chunked = ChunkedCorpusIndex.build(
+        seq, _cfg(), chunk_bases=1000, overlap=15
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        chunked.count([])
+    with pytest.raises(ValueError, match="non-empty"):
+        chunked.locate([])

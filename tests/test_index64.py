@@ -435,3 +435,54 @@ def test_narrow_rebuild_after_wide_cache(rng):
     got = SearchEngine(index).count(kmers)  # narrow rebuild from wide cache
     np.testing.assert_array_equal(got, want)
     index._device_cache = None
+
+
+def test_create_index_wide_route(rng, monkeypatch):
+    """create_index must not run the 32-bit seed-table builder on a wide
+    DeviceIndex64 (it would crash on the missing prefix_sums field and
+    clobber the hi/lo table _to_device_wide already built)."""
+    from avxwindowfmindex_tpu.models.index import FmIndex
+
+    orig = FmIndex.to_device
+    monkeypatch.setattr(
+        FmIndex,
+        "to_device",
+        lambda self, refresh=False, wide=None: orig(
+            self, refresh=refresh, wide=True
+        ),
+    )
+    seq = random_sequence(rng, 3000, AlphabetType.DNA)
+    index = create_index(seq, _cfg())  # crashed before the route fix
+    st = index.seed_table_host()
+    assert st.shape == (alpha.cardinality(AlphabetType.DNA) ** 3, 2)
+    eng = SearchEngine(index)
+    assert eng.wide
+    monkeypatch.undo()
+    narrow = SearchEngine(create_index(seq, _cfg()))
+    kmers = [random_kmer(rng, int(rng.integers(2, 10)), AlphabetType.DNA)
+             for _ in range(80)]
+    np.testing.assert_array_equal(eng.count(kmers), narrow.count(kmers))
+
+
+def test_wide_rna_rows_stay_pair_fused(rng, monkeypatch):
+    """Nucleotide pair rows are free (256 B either way): RNA must fuse
+    even under AWFM_PAIR_ROWS=0, like DNA; only amino honors the opt-out."""
+    monkeypatch.setenv("AWFM_PAIR_ROWS", "0")
+    seq = random_sequence(rng, 2000, AlphabetType.RNA)
+    index = create_index(seq, _cfg(AlphabetType.RNA))
+    dev = index.to_device(refresh=True, wide=True)
+    assert dev.pair_fused
+    index._device_cache = None
+
+
+def test_seed_table_host_rejects_placeholder(rng):
+    """to_device()'s zeros placeholder must never serialize as a real
+    seed table."""
+    seq = random_sequence(rng, 2000, AlphabetType.DNA)
+    index = create_index(seq, _cfg())
+    index.kmer_seed_table = None
+    index._device_cache = None
+    index.to_device()  # installs the (1, 2) placeholder
+    with pytest.raises(ValueError, match="no seed table"):
+        index.seed_table_host()
+    index._device_cache = None

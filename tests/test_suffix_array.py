@@ -91,3 +91,25 @@ def test_wide_values_64bit():
     padded = np.concatenate([packed, np.zeros(8, np.uint8)])
     for i in range(4):
         assert sa_mod.read_packed_value(padded, 64, i) == vals[i]
+
+
+def test_pack_unpack_chunked_boundaries(monkeypatch):
+    """pack/unpack are chunked (the whole-array bit matrix is ~100 GB at
+    hg38 scale); chunk seams must be byte-exact for every width."""
+    import avxwindowfmindex_tpu.suffix_array as sa_mod
+
+    rng = np.random.default_rng(33)
+    monkeypatch.setattr(sa_mod, "_PACK_CHUNK", 64)  # tiny chunks
+    for width in (1, 5, 8, 17, 32, 33, 64):
+        n = 613  # not a multiple of any chunk size
+        vals = rng.integers(0, 2 ** min(width, 63), size=n, dtype=np.uint64)
+        packed_chunked = sa_mod.pack_values(vals, width)
+        monkeypatch.setattr(sa_mod, "_PACK_CHUNK", 1 << 23)
+        packed_whole = sa_mod.pack_values(vals, width)
+        np.testing.assert_array_equal(packed_chunked, packed_whole)
+        monkeypatch.setattr(sa_mod, "_PACK_CHUNK", 64)
+        out = sa_mod.unpack_values(packed_chunked, width, n)
+        np.testing.assert_array_equal(out, vals)
+    # empty input round-trips
+    assert len(sa_mod.pack_values(np.zeros(0, np.uint64), 32)) == 0
+    assert len(sa_mod.unpack_values(np.zeros(0, np.uint8), 32, 0)) == 0
