@@ -49,7 +49,11 @@ def save_artifact(index: FmIndex, path: str) -> None:
         payload["fasta_headers"] = np.frombuffer(md.headers, dtype=np.uint8)
         payload["fasta_header_ends"] = md.header_ends
         payload["fasta_sequence_ends"] = md.sequence_ends
-    np.savez_compressed(path, **payload)
+    # write through a file object: np.savez_compressed silently appends
+    # ".npz" to bare string paths, which would break the advertised
+    # save_artifact('x.awfmx') -> load_artifact('x.awfmx') round trip
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, **payload)
 
 
 def load_artifact(path: str) -> FmIndex:

@@ -55,7 +55,11 @@ def read_fasta_python(path: str) -> Tuple[bytes, FastaMetadata]:
                     # record (FastaVector tolerates this)
                     started = True
                     headers.append(b"")
-                chunk = bytes(line.translate(None, b" \t\v\f"))
+                # \r in the delete-set: a stray mid-line CR would
+                # otherwise land in the sequence and sanitize into an
+                # ambiguity letter, silently corrupting the index
+                # (matches the native parser in native/src/awfm_host.cpp)
+                chunk = bytes(line.translate(None, b" \t\v\f\r"))
                 seq_chunks.append(chunk)
                 current_len += len(chunk)
     if started:

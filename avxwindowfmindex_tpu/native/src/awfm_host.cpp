@@ -189,7 +189,9 @@ int awfm_read_fasta(const char* path, uint8_t** seq_out, int64_t* seq_len,
       }
       for (size_t i = 0; i < len; i++) {
         uint8_t c = line[i];
-        if (c != ' ' && c != '\t' && c != '\v' && c != '\f') {
+        // '\r' included: stray mid-line CRs must not enter the sequence
+        // (kept in lock-step with io/fasta.py read_fasta_python)
+        if (c != ' ' && c != '\t' && c != '\v' && c != '\f' && c != '\r') {
           seq.push_back(c);
           current_len++;
         }

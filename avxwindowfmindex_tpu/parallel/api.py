@@ -13,7 +13,7 @@ list-in/list-out functions below are the idiomatic surface.
 from __future__ import annotations
 
 import dataclasses
-import weakref
+from collections import OrderedDict
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
@@ -21,20 +21,29 @@ import numpy as np
 from ..models.index import FmIndex
 from ..search import SearchEngine
 
-# engines keyed by index identity; a weakref finalizer evicts the entry
-# when the index is garbage collected so dead indexes don't pin their
-# host arrays and HBM forever
-_ENGINE_CACHE: dict = {}
+# engines keyed by index identity, LRU-bounded: an engine holds a strong
+# reference to its index (engine.host_index), so an unbounded cache
+# would pin every index's host arrays and HBM forever (a weakref
+# finalizer on the index can never fire while its engine is cached)
+_ENGINE_CACHE: "OrderedDict[int, SearchEngine]" = OrderedDict()
+_ENGINE_CACHE_MAX = 4
 
 
 def _engine_for(index: FmIndex) -> SearchEngine:
     key = id(index)
     eng = _ENGINE_CACHE.get(key)
-    if eng is None or eng.dev is not index._device_cache:
+    # host_index identity guards against id() reuse after an evicted
+    # index was garbage collected
+    if (
+        eng is None
+        or eng.host_index is not index
+        or eng.dev is not index._device_cache
+    ):
         eng = SearchEngine(index)
-        if key not in _ENGINE_CACHE:
-            weakref.finalize(index, _ENGINE_CACHE.pop, key, None)
         _ENGINE_CACHE[key] = eng
+    _ENGINE_CACHE.move_to_end(key)
+    while len(_ENGINE_CACHE) > _ENGINE_CACHE_MAX:
+        _ENGINE_CACHE.popitem(last=False)
     return eng
 
 
@@ -44,6 +53,9 @@ def parallel_search_count(
     """Count occurrences of each kmer (awFmParallelSearchCount,
     AwFmParallelSearch.c:159-220)."""
     del num_threads  # device-parallel; knob kept for API parity
+    if not len(kmers):
+        # the reference's loop over 0 entries is a no-op, not an error
+        return np.empty(0, dtype=np.uint64)
     return _engine_for(index).count(kmers)
 
 
@@ -54,6 +66,8 @@ def parallel_search_locate(
     AwFmParallelSearch.c:95-157). Returns one position array per kmer,
     ordered like the reference's positionList."""
     del num_threads
+    if not len(kmers):
+        return []
     return _engine_for(index).locate(kmers)
 
 

@@ -30,6 +30,8 @@ class RetryPolicy:
         backoff_seconds: float = 0.5,
         reload_index_on_failure: bool = True,
     ):
+        if max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1")
         self.max_attempts = max_attempts
         self.backoff_seconds = backoff_seconds
         self.reload_index_on_failure = reload_index_on_failure
@@ -85,8 +87,16 @@ class ReliableSearchEngine:
                     "%s shard failed (attempt %d/%d): %s",
                     op_name, attempt + 1, policy.max_attempts, err,
                 )
+                if attempt + 1 == policy.max_attempts:
+                    break  # no recovery work for a result that's discarded
                 if policy.reload_index_on_failure:
-                    self._reload_index()
+                    try:
+                        self._reload_index()
+                    except Exception as reload_err:
+                        # a failed reload must not consume the retry
+                        # budget or mask the shard error — keep retrying
+                        # with the current engine
+                        logger.warning("index reload failed: %s", reload_err)
                 time.sleep(policy.backoff_seconds * (attempt + 1))
         raise last_err
 

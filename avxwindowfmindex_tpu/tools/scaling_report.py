@@ -229,7 +229,18 @@ def _multihost_row(args, tmpdir: str):
         )
         for i in range(args.hosts)
     ]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    try:
+        outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    except subprocess.TimeoutExpired:
+        # a hung worker must not take down the already-measured
+        # single-host rows (or leave orphan processes); kill the exact
+        # PIDs we spawned and skip this rung
+        for q in procs:
+            if q.poll() is None:
+                q.kill()
+                q.communicate()
+        print("[scaling] multihost rung timed out (worker hung); skipping")
+        return None
     secs, n_q = None, None
     for i, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:

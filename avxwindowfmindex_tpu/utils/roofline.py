@@ -65,6 +65,18 @@ def report(
     """Roofline summary dict for a measured throughput."""
     chip = chip or detect_chip()
     rows = rows_per_query(kmer_len, seed_k, ratio, locate)
+    if rows <= 0:
+        # kmer_len == seed_k in count mode: the seed table answers the
+        # whole query with zero gathers — the roofline is unbounded
+        return {
+            "chip": chip.name,
+            "rows_per_query": 0.0,
+            "bytes_per_query": 0.0,
+            "hbm_speed_of_light_qps": None,
+            "gather_rate_ceiling_qps": None,
+            "fraction_of_hbm_sol": None,
+            "fraction_of_gather_ceiling": None,
+        }
     bytes_per_query = rows * row_bytes
     sol_bytes_qps = chip.hbm_gbps * 1e9 / bytes_per_query
     sol_rows_qps = chip.gather_rows_per_sec / rows

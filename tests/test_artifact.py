@@ -45,3 +45,19 @@ def test_artifact_with_fasta_metadata(rng, tmp_path):
     assert loaded.get_header(1) == b"two"
     seqn, local = loaded.get_local_sequence_position(8)
     assert (int(seqn), int(local)) == (1, 1)
+
+
+def test_artifact_plain_awfmx_extension_roundtrip(rng, tmp_path):
+    """save_artifact('x.awfmx') must be loadable as 'x.awfmx' — numpy's
+    savez appends '.npz' to bare string paths, breaking the advertised
+    round trip unless written through a file object."""
+    seq = random_sequence(rng, 1200, AlphabetType.DNA)
+    index = create_index(seq, IndexConfiguration(4, 3, AlphabetType.DNA))
+    path = tmp_path / "plain.awfmx"
+    artifact.save_artifact(index, str(path))
+    assert path.exists()
+    loaded = artifact.load_artifact(str(path))
+    kmers = [random_kmer(rng, 6, AlphabetType.DNA) for _ in range(20)]
+    np.testing.assert_array_equal(
+        SearchEngine(loaded).count(kmers), SearchEngine(index).count(kmers)
+    )

@@ -113,3 +113,20 @@ def test_native_empty_suffix_array():
     np.testing.assert_array_equal(
         hostlib.suffix_array(np.empty(0, np.uint8)), np.empty(0, np.int64)
     )
+
+
+def test_fasta_midline_cr_stripped(tmp_path):
+    """A stray mid-line CR must not enter the sequence (it would
+    sanitize into an ambiguity letter and silently corrupt the index) —
+    in BOTH parsers, which stay in lock-step."""
+    from avxwindowfmindex_tpu.io.fasta import read_fasta_python
+
+    fasta = tmp_path / "cr.fasta"
+    fasta.write_bytes(b">h\nACGT\rACGT\nTT \tGG\n")
+    seq_p, md_p = read_fasta_python(str(fasta))
+    assert seq_p == b"ACGTACGTTTGG"
+    assert md_p.sequence_ends.tolist() == [12]
+    if hostlib.available():
+        seq_n, md_n = hostlib.read_fasta(str(fasta))
+        assert seq_n == seq_p
+        np.testing.assert_array_equal(md_n.sequence_ends, md_p.sequence_ends)

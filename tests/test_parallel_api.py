@@ -61,3 +61,33 @@ def test_kmer_search_list_shim(built, rng):
 
     with pytest.raises(ValueError):
         search_list.set_kmers([b"A"] * 17)  # beyond capacity
+
+
+def test_parallel_api_empty_batch_noop(built):
+    """The reference's loop over 0 entries is a no-op, not an error
+    (unlike SearchEngine, which rejects empty batches)."""
+    _, index = built
+    assert parallel_search_count(index, []).shape == (0,)
+    assert parallel_search_locate(index, []) == []
+    sl = create_kmer_search_list(capacity=4)  # count=0 before first fill
+    sl.search_count(index)
+    sl.search_locate(index)
+
+
+def test_engine_cache_is_bounded(rng):
+    """The engine cache must not pin every index ever searched (an
+    engine strong-refs its index, so an unbounded cache leaks host RAM
+    and HBM)."""
+    import avxwindowfmindex_tpu.parallel.api as api_mod
+
+    cfg = IndexConfiguration(4, 3, AlphabetType.DNA)
+    indexes = [
+        create_index(random_sequence(rng, 400, AlphabetType.DNA), cfg)
+        for _ in range(api_mod._ENGINE_CACHE_MAX + 3)
+    ]
+    for index in indexes:
+        parallel_search_count(index, [b"ACGT"])
+    assert len(api_mod._ENGINE_CACHE) <= api_mod._ENGINE_CACHE_MAX
+    # the most recent index is still cached and its engine is reused
+    eng = api_mod._engine_for(indexes[-1])
+    assert api_mod._engine_for(indexes[-1]) is eng

@@ -100,3 +100,48 @@ def test_empty_kmer_list(built):
     eng = ReliableSearchEngine(index)
     assert len(eng.count([])) == 0
     assert eng.locate([]) == []
+
+
+def test_reload_failure_does_not_abort_retries(built, rng, monkeypatch):
+    """A transient reload error must not consume the retry budget or
+    mask the shard error."""
+    seq, index = built
+    kmers = [random_kmer(rng, 5, AlphabetType.DNA) for _ in range(50)]
+    want = SearchEngine(index).count(kmers)
+    FlakyEngine.failures_remaining = 1
+    eng = ReliableSearchEngine(
+        index, shard_size=100,
+        policy=RetryPolicy(max_attempts=3, backoff_seconds=0.0),
+        engine_factory=FlakyEngine,
+    )
+    reload_attempts = []
+
+    def broken_reload():
+        reload_attempts.append(1)
+        raise OSError("injected reload fault")
+
+    monkeypatch.setattr(eng, "_reload_index", broken_reload)
+    got = eng.count(kmers)  # retry with the CURRENT engine still works
+    np.testing.assert_array_equal(got, want)
+    assert reload_attempts
+
+
+def test_no_recovery_work_after_final_attempt(built, rng):
+    """The last failed attempt raises immediately — no index reload or
+    backoff sleep for a result that is discarded."""
+    _, index = built
+    FlakyEngine.failures_remaining = 99
+    eng = ReliableSearchEngine(
+        index, shard_size=100,
+        policy=RetryPolicy(max_attempts=2, backoff_seconds=0.0),
+        engine_factory=FlakyEngine,
+    )
+    with pytest.raises(RuntimeError, match="injected fault"):
+        eng.count([b"ACGT"])
+    # reload runs between attempts only: 2 attempts -> 1 reload
+    assert eng.stats["reloads"] == 1
+
+
+def test_retry_policy_validates_attempts():
+    with pytest.raises(ValueError, match="max_attempts"):
+        RetryPolicy(max_attempts=0)
