@@ -37,6 +37,7 @@ except ImportError:  # pragma: no cover
 from ..models import alphabet as alpha
 from ..models.index import DeviceIndex, FmIndex, POSITIONS_PER_BLOCK
 from ..ops import rank as rank_ops
+from ..ops import rank64 as r64
 from ..search import SearchEngine, _round_up, _round_up_pow2
 
 AXIS = "i"  # index-shard mesh axis
@@ -80,6 +81,47 @@ def _sharded_backward_step(dev, start, end, letter_indices, active,
     return jnp.where(keep, new_start, start), jnp.where(keep, new_end, end)
 
 
+def _local_rows64(dev, pos_hi, pos_lo, first_block, num_local_blocks):
+    """(rows, local, owned) for this shard's slice of a wide block array.
+
+    Global block = (pos_hi << 24) | (pos_lo >> 8) — exactly one shard
+    owns each position, so per-lane psum of masked values assembles the
+    global answer with no carries between shards.
+    """
+    blk = ((pos_hi << jnp.uint32(24)) | (pos_lo >> jnp.uint32(8))).astype(
+        jnp.int32
+    )
+    local_blk = blk - first_block
+    owned = (local_blk >= 0) & (local_blk < num_local_blocks)
+    safe = jnp.clip(local_blk, 0, num_local_blocks - 1)
+    local = (pos_lo & jnp.uint32(0xFF)).astype(jnp.int32)
+    return dev.packed[safe], local, owned
+
+
+def _sharded_backward_step64(dev, s_hi, s_lo, e_hi, e_lo, letter_indices,
+                             active, first_block, num_local_blocks):
+    """backward_step64 with hi/lo occurrence lanes psum-assembled."""
+    b = s_lo.shape[0]
+    c_hi, c_lo = r64._prefix_select64(dev, letter_indices)
+    ps_hi, ps_lo = r64.sub64_small(s_hi, s_lo, jnp.uint32(1))
+    pos_hi = jnp.concatenate([ps_hi, e_hi])
+    pos_lo = jnp.concatenate([ps_lo, e_lo])
+    ll = jnp.concatenate([letter_indices, letter_indices])
+    rows, local, owned = _local_rows64(
+        dev, pos_hi, pos_lo, first_block, num_local_blocks
+    )
+    occ_hi, occ_lo = r64._count_rows64(dev, rows, local, ll)
+    occ_hi = jax.lax.psum(jnp.where(owned, occ_hi, jnp.uint32(0)), AXIS)
+    occ_lo = jax.lax.psum(jnp.where(owned, occ_lo, jnp.uint32(0)), AXIS)
+    ns_hi, ns_lo = r64.add64(c_hi, c_lo, occ_hi[:b], occ_lo[:b])
+    ne_hi, ne_lo = r64.add64(c_hi, c_lo, occ_hi[b:], occ_lo[b:])
+    ne_hi, ne_lo = r64.sub64_small(ne_hi, ne_lo, jnp.uint32(1))
+    keep = active & r64.le64(s_hi, s_lo, e_hi, e_lo)
+    ns_hi, ns_lo = r64.where64(keep, ns_hi, ns_lo, s_hi, s_lo)
+    ne_hi, ne_lo = r64.where64(keep, ne_hi, ne_lo, e_hi, e_lo)
+    return ns_hi, ns_lo, ne_hi, ne_lo
+
+
 class RangeShardedSearchEngine(SearchEngine):
     """count/locate with the block array range-sharded across the mesh.
 
@@ -88,7 +130,8 @@ class RangeShardedSearchEngine(SearchEngine):
     collective differ.
     """
 
-    def __init__(self, index: FmIndex, mesh: Optional[Mesh] = None):
+    def __init__(self, index: FmIndex, mesh: Optional[Mesh] = None,
+                 wide: Optional[bool] = None):
         self.host_index = index
         self.mesh = mesh if mesh is not None else make_index_mesh()
         self.n_dev = int(self.mesh.devices.size)
@@ -97,15 +140,24 @@ class RangeShardedSearchEngine(SearchEngine):
                 "range-sharded search requires the sampled suffix array in "
                 "memory (load with keep_suffix_array_in_memory=True)"
             )
-        if int(index.bwt_length) >= 2**32:
-            # this engine's device positions/milestones/SA are uint32;
-            # packing a wider index would silently truncate them.
-            raise NotImplementedError(
-                "RangeShardedSearchEngine is 32-bit: bwtLength "
-                f"{index.bwt_length} >= 2^32 would truncate positions. "
-                "Use the single-chip wide layout (FmIndex.to_device, "
-                "automatic) or parallel.chunked.ChunkedCorpusIndex."
-            )
+        # bwtLength >= 2^32 routes to the hi/lo-u32 wide layout (same
+        # dual as FmIndex.to_device) — the 32-bit layout would silently
+        # truncate positions/milestones/SA
+        self.wide = bool(
+            wide if wide is not None else int(index.bwt_length) >= 2**32
+        )
+        if self.wide:
+            if index.num_blocks >= 2**31:
+                raise ValueError(
+                    "device block index rides int32 gathers: bwtLength "
+                    "must be < 2^39 positions (~550 G bases)"
+                )
+            ratio = int(index.config.suffix_array_compression_ratio)
+            if index.bwt_length // ratio >= 2**31:
+                raise ValueError(
+                    "sampled-SA gather index must fit int32: need "
+                    "bwtLength / saCompressionRatio < 2^31"
+                )
         self._ascii_lut = (
             alpha.AA_ASCII_TO_INDEX
             if index.alphabet.name == "AMINO"
@@ -121,9 +173,17 @@ class RangeShardedSearchEngine(SearchEngine):
             pack_device_blocks,
         )
 
-        packed_host_full = pack_device_blocks(
-            index.bwt_letters, index.milestones(), index.alphabet
-        )
+        if self.wide:
+            # compact (non-pair) wide rows: the sharded rank is a
+            # two-gather step either way, and capacity is the point here
+            packed_host_full = r64.pack_device_blocks64(
+                index.bwt_letters, index.milestones(), index.alphabet,
+                pair=False,
+            )
+        else:
+            packed_host_full = pack_device_blocks(
+                index.bwt_letters, index.milestones(), index.alphabet
+            )
         nb = packed_host_full.shape[0]
         self.blocks_per_shard = -(-nb // self.n_dev)  # ceil
         nb_padded = self.blocks_per_shard * self.n_dev
@@ -133,11 +193,20 @@ class RangeShardedSearchEngine(SearchEngine):
         packed_host[:nb] = packed_host_full
         del packed_host_full
         # sampled SA sharded the same way (by sample index range)
-        sa_host = index.sampled_sa.astype(np.uint32)
-        n_samples = len(sa_host)
+        n_samples = len(index.sampled_sa)
         self.samples_per_shard = -(-n_samples // self.n_dev)
-        sa_padded = np.zeros(self.samples_per_shard * self.n_dev, dtype=np.uint32)
-        sa_padded[:n_samples] = sa_host
+        if self.wide:
+            sa_hi, sa_lo = r64.split_u64_host(index.sampled_sa)
+            sa_padded = np.zeros(
+                (self.samples_per_shard * self.n_dev, 2), dtype=np.uint32
+            )
+            sa_padded[:n_samples, 0] = sa_lo
+            sa_padded[:n_samples, 1] = sa_hi
+        else:
+            sa_padded = np.zeros(
+                self.samples_per_shard * self.n_dev, dtype=np.uint32
+            )
+            sa_padded[:n_samples] = index.sampled_sa.astype(np.uint32)
 
         shard = lambda arr, spec: jax.device_put(
             jnp.asarray(arr), NamedSharding(self.mesh, spec)
@@ -146,21 +215,47 @@ class RangeShardedSearchEngine(SearchEngine):
             jnp.asarray(arr), NamedSharding(self.mesh, P())
         )
 
-        self.dev = DeviceIndex(
-            packed=shard(packed_host, P(AXIS, None)),
-            packed_pair=None,  # capacity mode keeps the classic two-gather step
-            prefix_sums=rep(index.prefix_sums.astype(np.uint32)),
-            seed_table=rep(index.seed_table_host().astype(np.uint32)),
-            sampled_sa=shard(sa_padded, P(AXIS)),
-            code_masks=rep(device_code_masks(index.alphabet)),
-            vec_to_index=rep(
-                alpha.vector_to_index_lut(index.alphabet).astype(np.int32)
-            ),
-            bwt_length=int(index.bwt_length),
-            ratio=int(index.config.suffix_array_compression_ratio),
-            kmer_length_in_seed_table=int(index.config.kmer_length_in_seed_table),
-            alphabet=index.alphabet,
-        )
+        if self.wide:
+            st = index.seed_table_host().astype(np.uint64)
+            s_hi, s_lo = r64.split_u64_host(st[:, 0])
+            e_hi, e_lo = r64.split_u64_host(st[:, 1])
+            ps_hi, ps_lo = r64.split_u64_host(index.prefix_sums)
+            self.dev = r64.DeviceIndex64(
+                packed=shard(packed_host, P(AXIS, None)),
+                prefix_hi=rep(ps_hi),
+                prefix_lo=rep(ps_lo),
+                seed_table=rep(np.stack([s_lo, s_hi, e_lo, e_hi], axis=1)),
+                sampled_sa=shard(sa_padded, P(AXIS, None)),
+                code_masks=rep(device_code_masks(index.alphabet)),
+                vec_to_index=rep(
+                    alpha.vector_to_index_lut(index.alphabet).astype(np.int32)
+                ),
+                bwt_length=int(index.bwt_length),
+                ratio=int(index.config.suffix_array_compression_ratio),
+                kmer_length_in_seed_table=int(
+                    index.config.kmer_length_in_seed_table
+                ),
+                alphabet=index.alphabet,
+                pair_fused=False,
+            )
+        else:
+            self.dev = DeviceIndex(
+                packed=shard(packed_host, P(AXIS, None)),
+                packed_pair=None,  # capacity mode keeps the two-gather step
+                prefix_sums=rep(index.prefix_sums.astype(np.uint32)),
+                seed_table=rep(index.seed_table_host().astype(np.uint32)),
+                sampled_sa=shard(sa_padded, P(AXIS)),
+                code_masks=rep(device_code_masks(index.alphabet)),
+                vec_to_index=rep(
+                    alpha.vector_to_index_lut(index.alphabet).astype(np.int32)
+                ),
+                bwt_length=int(index.bwt_length),
+                ratio=int(index.config.suffix_array_compression_ratio),
+                kmer_length_in_seed_table=int(
+                    index.config.kmer_length_in_seed_table
+                ),
+                alphabet=index.alphabet,
+            )
         self._ranges_fns = {}
         self._resolve_fn = None
         self._bt_seg_fn = None
@@ -174,6 +269,59 @@ class RangeShardedSearchEngine(SearchEngine):
         seed_k = self.dev.kmer_length_in_seed_table
         card = self.dev.cardinality
         bps = self.blocks_per_shard
+
+        def body64(dev, kmers, lengths):
+            """Wide variant: hi/lo pointers, (A^k, 4) seed table."""
+            shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
+            first_block = shard_id * bps
+            if seeded:
+                powers = jnp.asarray(
+                    [card ** (seed_k - 1 - j) for j in range(seed_k)],
+                    dtype=jnp.uint32,
+                )
+                idxs = lengths[:, None] - seed_k + jnp.arange(
+                    seed_k, dtype=jnp.int32
+                )[None, :]
+                last_k = jnp.take_along_axis(kmers, idxs, axis=1).astype(
+                    jnp.uint32
+                )
+                tbl = jnp.sum(last_k * powers[None, :], axis=1).astype(
+                    jnp.int32
+                )
+                sr = dev.seed_table[tbl]  # [s_lo, s_hi, e_lo, e_hi]
+                s_hi, s_lo, e_hi, e_lo = sr[:, 1], sr[:, 0], sr[:, 3], sr[:, 2]
+                first_pos = seed_k
+            else:
+                last = jnp.take_along_axis(
+                    kmers, (lengths - 1)[:, None], axis=1
+                )[:, 0].astype(jnp.int32)
+                s_hi = dev.prefix_hi[last]
+                s_lo = dev.prefix_lo[last]
+                e_hi, e_lo = r64.sub64_small(
+                    dev.prefix_hi[last + 1], dev.prefix_lo[last + 1],
+                    jnp.uint32(1),
+                )
+                first_pos = 1
+
+            def step(carry, t):
+                sh, sl, eh, el = carry
+                pos_in_kmer = lengths - first_pos - 1 - t
+                active = pos_in_kmer >= 0
+                lett = jnp.take_along_axis(
+                    kmers, jnp.maximum(pos_in_kmer, 0)[:, None], axis=1
+                )[:, 0].astype(jnp.int32)
+                sh, sl, eh, el = _sharded_backward_step64(
+                    dev, sh, sl, eh, el, lett, active, first_block, bps
+                )
+                return (sh, sl, eh, el), None
+
+            if n_steps > 0:
+                (s_hi, s_lo, e_hi, e_lo), _ = jax.lax.scan(
+                    step,
+                    (s_hi, s_lo, e_hi, e_lo),
+                    jnp.arange(n_steps, dtype=jnp.int32),
+                )
+            return jnp.stack([s_hi, s_lo, e_hi, e_lo], axis=1)
 
         def body(dev, kmers, lengths):
             shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
@@ -218,7 +366,7 @@ class RangeShardedSearchEngine(SearchEngine):
             return jnp.stack([start, end], axis=1)
 
         mapped = _shard_map(
-            body, mesh=self.mesh,
+            body64 if self.wide else body, mesh=self.mesh,
             in_specs=(_dev_specs(self.dev), P(), P()),
             out_specs=P(),
             check_vma=False,
@@ -252,6 +400,12 @@ class RangeShardedSearchEngine(SearchEngine):
                 max(0, sub_mat.shape[1] - k) if seeded else sub_mat.shape[1] - 1
             )
             out = self._get_ranges_fn(seeded, n_steps)(dev, jm, jl)
+            if self.wide:
+                o = np.asarray(out).astype(np.uint64)  # [s_hi,s_lo,e_hi,e_lo]
+                return (
+                    (o[:, 0] << np.uint64(32)) | o[:, 1],
+                    (o[:, 2] << np.uint64(32)) | o[:, 3],
+                )
             out = np.asarray(out, dtype=np.uint64)
             return out[:, 0], out[:, 1]
 
@@ -288,6 +442,33 @@ class RangeShardedSearchEngine(SearchEngine):
         card = dev_t.cardinality
         seg = min(64, max(4, 2 * ratio))
 
+        def body64(dev, p_hi, p_lo, off):
+            """Wide variant: hi/lo LF lanes psum-assembled per step."""
+            shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
+            first_block = shard_id * bps
+            u0, u1 = jnp.uint32(0), jnp.uint32(1)
+            for _ in range(seg):
+                done = r64.mod_small64(p_hi, p_lo, ratio) == u0
+                rows, local, owned = _local_rows64(
+                    dev, p_hi, p_lo, first_block, bps
+                )
+                lett = rank_ops.letter_at_rows(dev, rows, local)
+                lett = jax.lax.psum(jnp.where(owned, lett, 0), AXIS)
+                is_sentinel = lett == sentinel
+                lclip = jnp.minimum(lett, card)
+                occ_hi, occ_lo = r64._count_rows64(dev, rows, local, lclip)
+                occ_hi = jax.lax.psum(jnp.where(owned, occ_hi, u0), AXIS)
+                occ_lo = jax.lax.psum(jnp.where(owned, occ_lo, u0), AXIS)
+                c_hi, c_lo = r64._prefix_select64(dev, lclip)
+                lf_hi, lf_lo = r64.add64(c_hi, c_lo, occ_hi, occ_lo)
+                lf_hi, lf_lo = r64.sub64_small(lf_hi, lf_lo, u1)
+                lf_hi = jnp.where(is_sentinel, u0, lf_hi)
+                lf_lo = jnp.where(is_sentinel, u0, lf_lo)
+                p_hi = jnp.where(done, p_hi, lf_hi)
+                p_lo = jnp.where(done, p_lo, lf_lo)
+                off = jnp.where(done, off, off + u1)
+            return p_hi, p_lo, off
+
         def body(dev, p, off):
             shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
             first_block = shard_id * bps
@@ -317,12 +498,20 @@ class RangeShardedSearchEngine(SearchEngine):
                 off = jnp.where(done, off, off + jnp.uint32(1))
             return p, off
 
-        mapped = _shard_map(
-            body, mesh=self.mesh,
-            in_specs=(_dev_specs(self.dev), P(), P()),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
+        if self.wide:
+            mapped = _shard_map(
+                body64, mesh=self.mesh,
+                in_specs=(_dev_specs(self.dev), P(), P(), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        else:
+            mapped = _shard_map(
+                body, mesh=self.mesh,
+                in_specs=(_dev_specs(self.dev), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
         self._bt_seg_fn = jax.jit(mapped)
         return self._bt_seg_fn
 
@@ -335,6 +524,27 @@ class RangeShardedSearchEngine(SearchEngine):
         ratio = dev_t.ratio
         bwt_length = dev_t.bwt_length
 
+        def body64(dev, p_hi, p_lo, off):
+            """Wide variant: (lo, hi) sample lanes psum-assembled, then
+            the conditional-subtract mod of _resolve_samples64."""
+            shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
+            u0 = jnp.uint32(0)
+            sa_idx = r64.div_small64(p_hi, p_lo, ratio).astype(jnp.int32)
+            local_idx = sa_idx - shard_id * sps
+            owned = (local_idx >= 0) & (local_idx < sps)
+            safe = jnp.clip(local_idx, 0, sps - 1)
+            vals = dev.sampled_sa[safe]  # (B, 2) [lo, hi]
+            sa_lo = jax.lax.psum(jnp.where(owned, vals[:, 0], u0), AXIS)
+            sa_hi = jax.lax.psum(jnp.where(owned, vals[:, 1], u0), AXIS)
+            h_hi, h_lo = r64.add64_small(sa_hi, sa_lo, off)
+            n_hi = jnp.uint32(bwt_length >> 32)
+            n_lo = jnp.uint32(bwt_length & 0xFFFFFFFF)
+            over = ~r64.le64(h_hi, h_lo, n_hi, n_lo) | (
+                (h_hi == n_hi) & (h_lo == n_lo)
+            )
+            w_hi, w_lo = r64.sub64(h_hi, h_lo, n_hi, n_lo)
+            return r64.where64(over, w_hi, w_lo, h_hi, h_lo)
+
         def body(dev, p, off):
             shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
             sa_idx = (p // jnp.uint32(ratio)).astype(jnp.int32)
@@ -345,12 +555,20 @@ class RangeShardedSearchEngine(SearchEngine):
             sa_vals = jax.lax.psum(vals, AXIS)
             return (sa_vals + off) % jnp.uint32(bwt_length)
 
-        mapped = _shard_map(
-            body, mesh=self.mesh,
-            in_specs=(_dev_specs(self.dev), P(), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
+        if self.wide:
+            mapped = _shard_map(
+                body64, mesh=self.mesh,
+                in_specs=(_dev_specs(self.dev), P(), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        else:
+            mapped = _shard_map(
+                body, mesh=self.mesh,
+                in_specs=(_dev_specs(self.dev), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
         self._resolve_fn = jax.jit(mapped)
         return self._resolve_fn
 
@@ -379,8 +597,10 @@ class RangeShardedSearchEngine(SearchEngine):
         dev = self.dev
         ratio = dev.ratio
         rep = NamedSharding(self.mesh, P())
-
         b_pad = _round_up_pow2(n)
+        if self.wide:
+            return self._resolve_positions64(bwt_positions, n, b_pad, rep)
+
         padded = np.zeros(b_pad, dtype=np.uint32)
         padded[:n] = bwt_positions.astype(np.uint32)
         p = jax.device_put(jnp.asarray(padded), rep)
@@ -406,15 +626,60 @@ class RangeShardedSearchEngine(SearchEngine):
         hits = self._get_sa_resolve_fn()(dev, p, off)
         return np.asarray(hits[:n], dtype=np.uint64)
 
+    def _resolve_positions64(self, bwt_positions, n, b_pad, rep):
+        """Wide resolve: the same compaction schedule on hi/lo lanes."""
+        dev = self.dev
+        ratio = dev.ratio
+        pos = np.zeros(b_pad, dtype=np.uint64)
+        pos[:n] = bwt_positions.astype(np.uint64)
+        hi_np, lo_np = r64.split_u64_host(pos)
+        p_hi = jax.device_put(jnp.asarray(hi_np), rep)
+        p_lo = jax.device_put(jnp.asarray(lo_np), rep)
+        off = jax.device_put(jnp.zeros(b_pad, dtype=jnp.uint32), rep)
+
+        seg_fn = self._get_bt_segment_fn()
+        p_hi, p_lo, off = seg_fn(dev, p_hi, p_lo, off)
+        while True:
+            undone = (
+                np.asarray(r64.mod_small64(p_hi, p_lo, ratio))
+                != np.uint32(0)
+            )
+            cnt = int(undone.sum())
+            if cnt == 0:
+                break
+            m = _round_up_pow2(cnt, floor=256)
+            if m >= b_pad:
+                p_hi, p_lo, off = seg_fn(dev, p_hi, p_lo, off)
+                continue
+            idx = jnp.asarray(
+                np.flatnonzero(undone)[:m].astype(np.int32)
+            )
+            if len(idx) < m:  # pad with index 0 (rewritten identically)
+                idx = jnp.concatenate(
+                    [idx, jnp.zeros(m - len(idx), dtype=jnp.int32)]
+                )
+            s_hi, s_lo, s_off = seg_fn(dev, p_hi[idx], p_lo[idx], off[idx])
+            p_hi = p_hi.at[idx].set(s_hi)
+            p_lo = p_lo.at[idx].set(s_lo)
+            off = off.at[idx].set(s_off)
+        h_hi, h_lo = self._get_sa_resolve_fn()(dev, p_hi, p_lo, off)
+        return (
+            np.asarray(h_hi[:n]).astype(np.uint64) << np.uint64(32)
+        ) | np.asarray(h_lo[:n]).astype(np.uint64)
+
 
 def _dev_specs(dev):
-    """PartitionSpec pytree matching the range-sharded DeviceIndex.
+    """PartitionSpec pytree matching the range-sharded device index.
 
     Built by unflattening into the actual dev's treedef so the static
     metadata matches exactly. Leaf order follows the registered data
-    fields: packed, prefix_sums, seed_table, sampled_sa, code_masks,
-    vec_to_index.
+    fields — DeviceIndex: packed, prefix_sums, seed_table, sampled_sa,
+    code_masks, vec_to_index; DeviceIndex64: packed, prefix_hi,
+    prefix_lo, seed_table, sampled_sa (2-D), code_masks, vec_to_index.
     """
     _, treedef = jax.tree.flatten(dev)
-    specs = [P(AXIS, None), P(), P(), P(AXIS), P(), P()]
+    if isinstance(dev, DeviceIndex):
+        specs = [P(AXIS, None), P(), P(), P(AXIS), P(), P()]
+    else:
+        specs = [P(AXIS, None), P(), P(), P(), P(AXIS, None), P(), P()]
     return jax.tree.unflatten(treedef, specs)

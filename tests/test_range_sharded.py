@@ -98,11 +98,31 @@ def test_sharded_backtrace_compaction_levels(rng):
     )
 
 
-def test_wide_index_rejected_clearly(built):
-    """bwtLength >= 2^32 must raise, not silently truncate to uint32."""
-    import dataclasses
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_wide_matches(built, rng, n_dev):
+    """Forced-wide (hi/lo-u32) range-sharded engine: count and locate
+    must equal the narrow single-device engine — the capacity pairing
+    for indexes that are BOTH >= 2^32 positions and bigger than one
+    chip's HBM."""
+    seq, index = built
+    sharded = RangeShardedSearchEngine(
+        index, make_index_mesh(n_dev), wide=True
+    )
+    assert sharded.wide and not sharded.dev.pair_fused
+    single = SearchEngine(index)
+    kmers = [random_kmer(rng, int(rng.integers(2, 12)), AlphabetType.DNA)
+             for _ in range(64)]
+    np.testing.assert_array_equal(sharded.count(kmers), single.count(kmers))
+    hits = sharded.locate(kmers[:12])
+    want = single.locate(kmers[:12])
+    for a, b in zip(hits, want):
+        np.testing.assert_array_equal(a, b)
 
-    _, index = built
-    fake_wide = dataclasses.replace(index, bwt_length=2**32)
-    with pytest.raises(NotImplementedError, match="32-bit"):
-        RangeShardedSearchEngine(fake_wide, make_index_mesh(2))
+
+def test_sharded_wide_mixed_eligibility(built, rng):
+    """Wide sharded engine: short (unseeded) + seeded kmers in one batch."""
+    seq, index = built
+    sharded = RangeShardedSearchEngine(index, make_index_mesh(4), wide=True)
+    single = SearchEngine(index)
+    kmers = [b"AC", b"GATTACA", b"T", b"ACGTACGTACGT", b"GG"]
+    np.testing.assert_array_equal(sharded.count(kmers), single.count(kmers))
