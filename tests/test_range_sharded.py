@@ -126,3 +126,91 @@ def test_sharded_wide_mixed_eligibility(built, rng):
     single = SearchEngine(index)
     kmers = [b"AC", b"GATTACA", b"T", b"ACGTACGTACGT", b"GG"]
     np.testing.assert_array_equal(sharded.count(kmers), single.count(kmers))
+
+
+def test_sharded_wide_occurrence_hi_carry(rng):
+    """psum-assembled hi/lo occurrence lanes with milestones straddling
+    2^32 (nonzero hi words): exactly one shard owns each position, so
+    per-lane sums need no cross-shard carries — validate the assembled
+    u64 against a host oracle. (The engine-level wide tests use small
+    forced-wide indexes whose hi words are all zero.)"""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from avxwindowfmindex_tpu.models import alphabet as alpha
+    from avxwindowfmindex_tpu.models.index import device_code_masks
+    from avxwindowfmindex_tpu.ops import rank64 as r64
+    from avxwindowfmindex_tpu.parallel import range_sharded as rs
+
+    nb, n_dev = 16, 8
+    card = alpha.cardinality(AlphabetType.DNA)
+    letters = rng.integers(0, card + 2, size=(nb, 256)).astype(np.uint8)
+    counts = np.stack(
+        [(letters == j).sum(axis=1) for j in range(card + 2)], axis=1
+    ).astype(np.uint64)
+    cum = np.cumsum(counts, axis=0)
+    ms = np.zeros_like(cum)
+    ms[1:] = cum[:-1]
+    ms += np.uint64(2**32 - 100)  # counts cross 2^32 mid-table
+    packed = r64.pack_device_blocks64(
+        letters.reshape(-1), ms, AlphabetType.DNA, pair=False
+    )
+    mesh = make_index_mesh(n_dev)
+    bps = nb // n_dev
+    rep = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P()))
+    dev = r64.DeviceIndex64(
+        packed=jax.device_put(
+            jnp.asarray(packed), NamedSharding(mesh, P(rs.AXIS, None))
+        ),
+        prefix_hi=rep(np.zeros(card + 2, np.uint32)),
+        prefix_lo=rep(np.ones(card + 2, np.uint32)),
+        seed_table=rep(np.zeros((1, 4), np.uint32)),
+        sampled_sa=jax.device_put(
+            jnp.asarray(np.zeros((nb * 256 // 8, 2), np.uint32)),
+            NamedSharding(mesh, P(rs.AXIS, None)),
+        ),
+        code_masks=rep(device_code_masks(AlphabetType.DNA)),
+        vec_to_index=rep(
+            alpha.vector_to_index_lut(AlphabetType.DNA).astype(np.int32)
+        ),
+        bwt_length=nb * 256,
+        ratio=8,
+        kmer_length_in_seed_table=3,
+        alphabet=AlphabetType.DNA,
+        pair_fused=False,
+    )
+
+    def body(d, p_hi, p_lo, ll):
+        shard_id = jax.lax.axis_index(rs.AXIS).astype(jnp.int32)
+        rows, local, owned = rs._local_rows64(
+            d, p_hi, p_lo, shard_id * bps, bps
+        )
+        occ_hi, occ_lo = r64._count_rows64(d, rows, local, ll)
+        occ_hi = jax.lax.psum(jnp.where(owned, occ_hi, jnp.uint32(0)), rs.AXIS)
+        occ_lo = jax.lax.psum(jnp.where(owned, occ_lo, jnp.uint32(0)), rs.AXIS)
+        return jnp.stack([occ_hi, occ_lo], axis=1)
+
+    mapped = rs._shard_map(
+        body, mesh=mesh,
+        in_specs=(rs._dev_specs(dev), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    positions = rng.integers(0, nb * 256, size=256, dtype=np.uint64)
+    letts = rng.integers(0, card + 1, size=256).astype(np.int32)
+    p_hi, p_lo = r64.split_u64_host(positions)
+    out = np.asarray(
+        jax.jit(mapped)(
+            dev, jnp.asarray(p_hi), jnp.asarray(p_lo), jnp.asarray(letts)
+        )
+    ).astype(np.uint64)
+    got = (out[:, 0] << np.uint64(32)) | out[:, 1]
+
+    flat = letters.reshape(-1)
+    want = np.empty(256, dtype=np.uint64)
+    for i, (p, l) in enumerate(zip(positions, letts)):
+        b = int(p // 256)
+        within = np.count_nonzero(flat[b * 256 : int(p) + 1] == l)
+        want[i] = ms[b, l] + np.uint64(within)
+    np.testing.assert_array_equal(got, want)
