@@ -122,6 +122,20 @@ def div_small64(hi, lo, r: int):
     return q1 * jnp.uint32(1 << 16) + q2
 
 
+def mod_bwt64(h_hi, h_lo, bwt_length: int):
+    """h % bwtLength as ONE conditional subtract (hi/lo lanes).
+
+    Callers guarantee h < 2 * bwtLength (the SA-resolve invariant:
+    sa < bwtLength and offset < bwtLength, AwFmSuffixArray.c:189-190).
+    The over predicate is h >= bwtLength, i.e. NOT(h <= n) OR h == n.
+    """
+    n_hi = jnp.uint32(bwt_length >> 32)
+    n_lo = jnp.uint32(bwt_length & 0xFFFFFFFF)
+    over = ~le64(h_hi, h_lo, n_hi, n_lo) | ((h_hi == n_hi) & (h_lo == n_lo))
+    w_hi, w_lo = sub64(h_hi, h_lo, n_hi, n_lo)
+    return where64(over, w_hi, w_lo, h_hi, h_lo)
+
+
 def split_u64_host(values: np.ndarray):
     v = values.astype(np.uint64)
     return (v >> np.uint64(32)).astype(np.uint32), (

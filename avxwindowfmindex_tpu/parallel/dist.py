@@ -125,8 +125,9 @@ def _sharded_count_allgather_fn(mesh: Mesh, n_steps: int):
 
 @functools.lru_cache(maxsize=64)
 def _sharded_count_allgather64_fn(mesh: Mesh, n_steps: int):
-    """Wide (hi/lo-u32) count merge: range widths can exceed uint32, so
-    hi and lo count lanes are gathered separately and joined on host."""
+    """Wide (hi/lo-u32) count merge, scan formulation (CPU backends):
+    range widths can exceed uint32, so hi and lo count lanes travel as
+    one stacked all_gather and are joined on host."""
     from .. import search64
     from ..ops import rank64 as r64
 
@@ -138,17 +139,40 @@ def _sharded_count_allgather64_fn(mesh: Mesh, n_steps: int):
         c_hi, c_lo = r64.add64_small(
             *r64.sub64(e_hi, e_lo, s_hi, s_lo), jnp.uint32(1)
         )
-        c_hi = jnp.where(valid, c_hi, jnp.uint32(0))
-        c_lo = jnp.where(valid, c_lo, jnp.uint32(0))
-        return (
-            jax.lax.all_gather(c_hi, "q", tiled=True),
-            jax.lax.all_gather(c_lo, "q", tiled=True),
+        c = jnp.where(
+            valid[None, :], jnp.stack([c_hi, c_lo]), jnp.uint32(0)
         )
+        return jax.lax.all_gather(c, "q", axis=1, tiled=True)
 
     mapped = _shard_map(
         body, mesh=mesh,
         in_specs=(P(), P("q", None), P("q")),
-        out_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=64)
+def _gather_counts64_fn(mesh: Mesh):
+    """all_gather the hi/lo count lanes of already-sharded wide ranges
+    (the step-loop path's merge: one stacked collective)."""
+    from ..ops import rank64 as r64
+
+    def body(s_hi, s_lo, e_hi, e_lo):
+        valid = r64.le64(s_hi, s_lo, e_hi, e_lo)
+        c_hi, c_lo = r64.add64_small(
+            *r64.sub64(e_hi, e_lo, s_hi, s_lo), jnp.uint32(1)
+        )
+        c = jnp.where(
+            valid[None, :], jnp.stack([c_hi, c_lo]), jnp.uint32(0)
+        )
+        return jax.lax.all_gather(c, "q", axis=1, tiled=True)
+
+    mapped = _shard_map(
+        body, mesh=mesh,
+        in_specs=(P("q"), P("q"), P("q"), P("q")),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -304,12 +328,43 @@ class DistributedSearchEngine(SearchEngine):
             )
         n_steps = max(0, mat.shape[1] - dev.kmer_length_in_seed_table)
         if self.wide:
-            c_hi, c_lo = _sharded_count_allgather64_fn(self.mesh, n_steps)(
-                dev, self._shard(mat), self._shard(lengths)
-            )
-            return (
-                np.asarray(c_hi[:n]).astype(np.uint64) << np.uint64(32)
-            ) | np.asarray(c_lo[:n]).astype(np.uint64)
+            from .. import search64
+
+            if _use_step_loop():
+                # per-step GSPMD programs instead of a monolithic scan
+                # (which takes minutes to compile on remote TPU
+                # backends); flag count + both count lanes fold into
+                # ONE readback
+                pair = dev.pair_fused and search64._use_pair_rows64()
+                s_hi, s_lo, e_hi, e_lo, bad = search64._ranges_steploop64(
+                    dev, mat, lengths, True, pair, put=self._shard
+                )
+                c = _gather_counts64_fn(self.mesh)(s_hi, s_lo, e_hi, e_lo)
+                flag = (
+                    search64._flag_count64(bad).astype(jnp.uint32)[None]
+                    if bad is not None
+                    else jnp.zeros(1, dtype=jnp.uint32)
+                )
+                flat = np.asarray(jnp.concatenate([flag, c[0], c[1]]))
+                b = mat.shape[0]
+                if flat[0]:
+                    # rare: a range outgrew the pair window — exact
+                    # two-gather re-run, counts derived on host
+                    r = search64.ranges64_exact(
+                        dev, mat, lengths, True, put=self._shard
+                    )
+                    s_, e_ = r[:, 0], r[:, 1]
+                    counts = np.where(s_ <= e_, e_ - s_ + 1, 0)
+                    return counts.astype(np.uint64)[:n]
+                c_hi = flat[1 : 1 + b].astype(np.uint64)
+                c_lo = flat[1 + b :].astype(np.uint64)
+                return ((c_hi << np.uint64(32)) | c_lo)[:n]
+            c = np.asarray(
+                _sharded_count_allgather64_fn(self.mesh, n_steps)(
+                    dev, self._shard(mat), self._shard(lengths)
+                )
+            ).astype(np.uint64)
+            return ((c[0] << np.uint64(32)) | c[1])[:n]
         fn = _sharded_count_allgather_fn(self.mesh, n_steps)
         counts = fn(dev, self._shard(mat), self._shard(lengths))
         return np.asarray(counts[:n], dtype=np.uint64)

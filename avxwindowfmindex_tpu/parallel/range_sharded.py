@@ -22,6 +22,7 @@ side). Use the replicated engine when the index fits.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -111,8 +112,13 @@ def _sharded_backward_step64(dev, s_hi, s_lo, e_hi, e_lo, letter_indices,
         dev, pos_hi, pos_lo, first_block, num_local_blocks
     )
     occ_hi, occ_lo = r64._count_rows64(dev, rows, local, ll)
-    occ_hi = jax.lax.psum(jnp.where(owned, occ_hi, jnp.uint32(0)), AXIS)
-    occ_lo = jax.lax.psum(jnp.where(owned, occ_lo, jnp.uint32(0)), AXIS)
+    # one stacked psum: collective launch latency is per-call and this
+    # runs inside every scan step
+    occ = jax.lax.psum(
+        jnp.where(owned[None, :], jnp.stack([occ_hi, occ_lo]), jnp.uint32(0)),
+        AXIS,
+    )
+    occ_hi, occ_lo = occ[0], occ[1]
     ns_hi, ns_lo = r64.add64(c_hi, c_lo, occ_hi[:b], occ_lo[:b])
     ne_hi, ne_lo = r64.add64(c_hi, c_lo, occ_hi[b:], occ_lo[b:])
     ne_hi, ne_lo = r64.sub64_small(ne_hi, ne_lo, jnp.uint32(1))
@@ -146,6 +152,14 @@ class RangeShardedSearchEngine(SearchEngine):
         self.wide = bool(
             wide if wide is not None else int(index.bwt_length) >= 2**32
         )
+        if not self.wide and int(index.bwt_length) >= 2**32:
+            # an explicit wide=False override must not silently truncate
+            # SA/prefix-sums/seed-table values to uint32 (same guard as
+            # FmIndex.to_device)
+            raise ValueError(
+                "bwtLength >= 2**32 requires the 64-bit layout "
+                "(wide=True, chosen automatically)"
+            )
         if self.wide:
             if index.num_blocks >= 2**31:
                 raise ValueError(
@@ -271,36 +285,26 @@ class RangeShardedSearchEngine(SearchEngine):
         bps = self.blocks_per_shard
 
         def body64(dev, kmers, lengths):
-            """Wide variant: hi/lo pointers, (A^k, 4) seed table."""
+            """Wide variant: hi/lo pointers, (A^k, 4) seed table.
+
+            Seed/initial ranges reuse the single-device wide helpers so
+            the radix/column conventions cannot drift."""
+            from .. import search64
+
             shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
             first_block = shard_id * bps
             if seeded:
-                powers = jnp.asarray(
-                    [card ** (seed_k - 1 - j) for j in range(seed_k)],
-                    dtype=jnp.uint32,
-                )
                 idxs = lengths[:, None] - seed_k + jnp.arange(
                     seed_k, dtype=jnp.int32
                 )[None, :]
-                last_k = jnp.take_along_axis(kmers, idxs, axis=1).astype(
-                    jnp.uint32
-                )
-                tbl = jnp.sum(last_k * powers[None, :], axis=1).astype(
-                    jnp.int32
-                )
-                sr = dev.seed_table[tbl]  # [s_lo, s_hi, e_lo, e_hi]
-                s_hi, s_lo, e_hi, e_lo = sr[:, 1], sr[:, 0], sr[:, 3], sr[:, 2]
+                last_k = jnp.take_along_axis(kmers, idxs, axis=1)
+                s_hi, s_lo, e_hi, e_lo = search64._seed_lookup64(dev, last_k)
                 first_pos = seed_k
             else:
                 last = jnp.take_along_axis(
                     kmers, (lengths - 1)[:, None], axis=1
-                )[:, 0].astype(jnp.int32)
-                s_hi = dev.prefix_hi[last]
-                s_lo = dev.prefix_lo[last]
-                e_hi, e_lo = r64.sub64_small(
-                    dev.prefix_hi[last + 1], dev.prefix_lo[last + 1],
-                    jnp.uint32(1),
-                )
+                )[:, 0]
+                s_hi, s_lo, e_hi, e_lo = search64._initial_range64(dev, last)
                 first_pos = 1
 
             def step(carry, t):
@@ -452,13 +456,30 @@ class RangeShardedSearchEngine(SearchEngine):
                 rows, local, owned = _local_rows64(
                     dev, p_hi, p_lo, first_block, bps
                 )
-                lett = rank_ops.letter_at_rows(dev, rows, local)
-                lett = jax.lax.psum(jnp.where(owned, lett, 0), AXIS)
+                # letter then occ, folded into ONE stacked psum per step
+                # (collective launch latency is per-call): the letter
+                # must be known before occ, but the OWNED shard computes
+                # both locally — off-shard lanes contribute zero either
+                # way, so lett/occ_hi/occ_lo travel together
+                lett_local = rank_ops.letter_at_rows(dev, rows, local)
+                lclip_local = jnp.minimum(lett_local, card)
+                occ_hi, occ_lo = r64._count_rows64(
+                    dev, rows, local, lclip_local
+                )
+                stacked = jax.lax.psum(
+                    jnp.where(
+                        owned[None, :],
+                        jnp.stack(
+                            [lett_local.astype(jnp.uint32), occ_hi, occ_lo]
+                        ),
+                        u0,
+                    ),
+                    AXIS,
+                )
+                lett = stacked[0].astype(jnp.int32)
+                occ_hi, occ_lo = stacked[1], stacked[2]
                 is_sentinel = lett == sentinel
                 lclip = jnp.minimum(lett, card)
-                occ_hi, occ_lo = r64._count_rows64(dev, rows, local, lclip)
-                occ_hi = jax.lax.psum(jnp.where(owned, occ_hi, u0), AXIS)
-                occ_lo = jax.lax.psum(jnp.where(owned, occ_lo, u0), AXIS)
                 c_hi, c_lo = r64._prefix_select64(dev, lclip)
                 lf_hi, lf_lo = r64.add64(c_hi, c_lo, occ_hi, occ_lo)
                 lf_hi, lf_lo = r64.sub64_small(lf_hi, lf_lo, u1)
@@ -481,17 +502,26 @@ class RangeShardedSearchEngine(SearchEngine):
                 safe = jnp.clip(local_blk, 0, bps - 1)
                 rows = dev.packed[safe]
                 local = (p % POSITIONS_PER_BLOCK).astype(jnp.int32)
-                # letter at position (masked to 0 off-shard, psum-combined)
-                lett = rank_ops.letter_at_rows(dev, rows, local)
-                lett = jax.lax.psum(jnp.where(owned, lett, 0), AXIS)
+                # letter + occ in ONE stacked psum per step: the owned
+                # shard's local letter IS the global letter, so its occ
+                # can be computed before the collective; off-shard lanes
+                # are masked to zero either way
+                lett_local = rank_ops.letter_at_rows(dev, rows, local)
+                occ_local = rank_ops._count_rows(
+                    dev, rows, local, jnp.minimum(lett_local, card)
+                )
+                stacked = jax.lax.psum(
+                    jnp.where(
+                        owned[None, :],
+                        jnp.stack([lett_local.astype(jnp.uint32), occ_local]),
+                        jnp.uint32(0),
+                    ),
+                    AXIS,
+                )
+                lett = stacked[0].astype(jnp.int32)
+                occ = stacked[1]
                 is_sentinel = lett == sentinel
                 lclip = jnp.minimum(lett, card)
-                occ_local = jnp.where(
-                    owned,
-                    rank_ops._count_rows(dev, rows, local, lclip),
-                    jnp.uint32(0),
-                )
-                occ = jax.lax.psum(occ_local, AXIS)
                 lf = rank_ops._prefix_sum_select(dev, lclip) + occ - jnp.uint32(1)
                 lf = jnp.where(is_sentinel, jnp.uint32(0), lf)
                 p = jnp.where(done, p, lf)
@@ -525,25 +555,19 @@ class RangeShardedSearchEngine(SearchEngine):
         bwt_length = dev_t.bwt_length
 
         def body64(dev, p_hi, p_lo, off):
-            """Wide variant: (lo, hi) sample lanes psum-assembled, then
-            the conditional-subtract mod of _resolve_samples64."""
+            """Wide variant: (lo, hi) sample lanes in ONE psum, then the
+            shared conditional-subtract mod (rank64.mod_bwt64)."""
             shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
-            u0 = jnp.uint32(0)
             sa_idx = r64.div_small64(p_hi, p_lo, ratio).astype(jnp.int32)
             local_idx = sa_idx - shard_id * sps
             owned = (local_idx >= 0) & (local_idx < sps)
             safe = jnp.clip(local_idx, 0, sps - 1)
             vals = dev.sampled_sa[safe]  # (B, 2) [lo, hi]
-            sa_lo = jax.lax.psum(jnp.where(owned, vals[:, 0], u0), AXIS)
-            sa_hi = jax.lax.psum(jnp.where(owned, vals[:, 1], u0), AXIS)
-            h_hi, h_lo = r64.add64_small(sa_hi, sa_lo, off)
-            n_hi = jnp.uint32(bwt_length >> 32)
-            n_lo = jnp.uint32(bwt_length & 0xFFFFFFFF)
-            over = ~r64.le64(h_hi, h_lo, n_hi, n_lo) | (
-                (h_hi == n_hi) & (h_lo == n_lo)
+            sa = jax.lax.psum(
+                jnp.where(owned[:, None], vals, jnp.uint32(0)), AXIS
             )
-            w_hi, w_lo = r64.sub64(h_hi, h_lo, n_hi, n_lo)
-            return r64.where64(over, w_hi, w_lo, h_hi, h_lo)
+            h_hi, h_lo = r64.add64_small(sa[:, 1], sa[:, 0], off)
+            return r64.mod_bwt64(h_hi, h_lo, bwt_length)
 
         def body(dev, p, off):
             shard_id = jax.lax.axis_index(AXIS).astype(jnp.int32)
@@ -627,7 +651,15 @@ class RangeShardedSearchEngine(SearchEngine):
         return np.asarray(hits[:n], dtype=np.uint64)
 
     def _resolve_positions64(self, bwt_positions, n, b_pad, rep):
-        """Wide resolve: the same compaction schedule on hi/lo lanes."""
+        """Wide resolve: the same compaction schedule on hi/lo lanes.
+
+        Per-level host traffic is ONE scalar (the undone count); the
+        straggler indices are compacted on device and scattered back on
+        device — pulling the full undone vector would cost ~4 MB/level
+        at tunnel rates. The helpers below take ratio as a static
+        instead of the sharded dev pytree: mixing the Auto-sharded dev
+        leaves with shard_map (Manual) outputs in one jit is rejected.
+        """
         dev = self.dev
         ratio = dev.ratio
         pos = np.zeros(b_pad, dtype=np.uint64)
@@ -640,32 +672,49 @@ class RangeShardedSearchEngine(SearchEngine):
         seg_fn = self._get_bt_segment_fn()
         p_hi, p_lo, off = seg_fn(dev, p_hi, p_lo, off)
         while True:
-            undone = (
-                np.asarray(r64.mod_small64(p_hi, p_lo, ratio))
-                != np.uint32(0)
-            )
-            cnt = int(undone.sum())
+            cnt = int(np.asarray(_undone_count64_rs(p_hi, p_lo, ratio=ratio)))
             if cnt == 0:
                 break
             m = _round_up_pow2(cnt, floor=256)
             if m >= b_pad:
                 p_hi, p_lo, off = seg_fn(dev, p_hi, p_lo, off)
                 continue
-            idx = jnp.asarray(
-                np.flatnonzero(undone)[:m].astype(np.int32)
+            idx, s_hi, s_lo, s_off = _gather_undone64_rs(
+                p_hi, p_lo, off, ratio=ratio, m=m
             )
-            if len(idx) < m:  # pad with index 0 (rewritten identically)
-                idx = jnp.concatenate(
-                    [idx, jnp.zeros(m - len(idx), dtype=jnp.int32)]
-                )
-            s_hi, s_lo, s_off = seg_fn(dev, p_hi[idx], p_lo[idx], off[idx])
-            p_hi = p_hi.at[idx].set(s_hi)
-            p_lo = p_lo.at[idx].set(s_lo)
-            off = off.at[idx].set(s_off)
+            s_hi, s_lo, s_off = seg_fn(dev, s_hi, s_lo, s_off)
+            p_hi, p_lo, off = _scatter_back64_rs(
+                p_hi, p_lo, off, idx, s_hi, s_lo, s_off
+            )
         h_hi, h_lo = self._get_sa_resolve_fn()(dev, p_hi, p_lo, off)
         return (
             np.asarray(h_hi[:n]).astype(np.uint64) << np.uint64(32)
         ) | np.asarray(h_lo[:n]).astype(np.uint64)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def _undone_count64_rs(p_hi, p_lo, *, ratio):
+    return jnp.sum(
+        r64.mod_small64(p_hi, p_lo, ratio) != jnp.uint32(0), dtype=jnp.int32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "m"))
+def _gather_undone64_rs(p_hi, p_lo, off, *, ratio, m):
+    idx = jnp.nonzero(
+        r64.mod_small64(p_hi, p_lo, ratio) != jnp.uint32(0),
+        size=m, fill_value=0,
+    )[0].astype(jnp.int32)
+    return idx, p_hi[idx], p_lo[idx], off[idx]
+
+
+@jax.jit
+def _scatter_back64_rs(p_hi, p_lo, off, idx, s_hi, s_lo, s_off):
+    return (
+        p_hi.at[idx].set(s_hi),
+        p_lo.at[idx].set(s_lo),
+        off.at[idx].set(s_off),
+    )
 
 
 def _dev_specs(dev):

@@ -390,13 +390,7 @@ def _resolve_samples64(dev, p_hi, p_lo, off):
     sample_idx = r64.div_small64(p_hi, p_lo, dev.ratio).astype(jnp.int32)
     sa = dev.sampled_sa[sample_idx]  # (B, 2) [lo, hi]
     h_hi, h_lo = r64.add64_small(sa[:, 1], sa[:, 0], off)
-    n_hi = jnp.uint32(dev.bwt_length >> 32)
-    n_lo = jnp.uint32(dev.bwt_length & 0xFFFFFFFF)
-    over = ~r64.le64(h_hi, h_lo, n_hi, n_lo) | (
-        (h_hi == n_hi) & (h_lo == n_lo)
-    )
-    w_hi, w_lo = r64.sub64(h_hi, h_lo, n_hi, n_lo)
-    return r64.where64(over, w_hi, w_lo, h_hi, h_lo)
+    return r64.mod_bwt64(h_hi, h_lo, dev.bwt_length)
 
 
 @jax.jit

@@ -170,3 +170,36 @@ def test_dist_wide_steploop_pair_fixup(rng, monkeypatch):
         "search64.pair_fixup.flagged", 0
     ) > flagged_before
     index._device_cache = None
+
+
+def test_dist_wide_count_replicated_steploop(rng, monkeypatch):
+    """Wide count_replicated under the GSPMD step loop: the clean path
+    folds flag+count lanes into one readback; a flag-rich corpus routes
+    through the exact re-run. Both must equal the single-device count."""
+    import avxwindowfmindex_tpu.parallel.dist as dist_mod
+    import avxwindowfmindex_tpu.search64 as search64_mod
+
+    monkeypatch.setattr(dist_mod, "_use_step_loop", lambda: True)
+    monkeypatch.setattr(search64_mod, "_use_step_loop", lambda: True)
+    cfg = IndexConfiguration(
+        suffix_array_compression_ratio=4,
+        kmer_length_in_seed_table=3,
+        alphabet_type=AlphabetType.DNA,
+    )
+    # clean random corpus (flags unlikely) and AC-repeat corpus (flags
+    # near-certain with k=3 seeds) — both paths covered
+    for seq in (
+        random_sequence(rng, 3000, AlphabetType.DNA),
+        bytes(rng.choice(np.frombuffer(b"AC", np.uint8), size=3000)),
+    ):
+        index = create_index(seq, cfg)
+        wide_dev = index.to_device(refresh=True, wide=True)
+        dist = DistributedSearchEngine(wide_dev, make_query_mesh(4))
+        single = SearchEngine(index)
+        kmers = [b"ACACACAC", b"AAAACCCC", b"CACACACA", b"ACGTACGT"] + [
+            random_kmer(rng, 8, AlphabetType.DNA) for _ in range(20)
+        ]
+        np.testing.assert_array_equal(
+            dist.count_replicated(kmers), single.count(kmers)
+        )
+        index._device_cache = None
