@@ -80,6 +80,7 @@ def _cfg(alphabet, ratio, k):
         (AlphabetType.DNA, "dna", NT, 4, 3),
         (AlphabetType.DNA, "dna", NT, 8, 5),
         (AlphabetType.DNA, "dna", NT, 1, 2),
+        (AlphabetType.RNA, "rna", "ACGUacgu", 4, 3),
         (AlphabetType.AMINO, "amino", AA, 4, 2),
     ],
 )
