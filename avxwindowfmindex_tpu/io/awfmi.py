@@ -200,7 +200,11 @@ def read_index(path: str, keep_suffix_array_in_memory: bool = True) -> FmIndex:
         if magic != MAGIC:
             raise ValueError(f"{path}: not an AwFmIndex file (bad magic)")
         version = int(np.frombuffer(fh.read(4), "<u4")[0])
-        if version != 8:
+        # the reference validates the on-disk u32 version through a
+        # uint16_t parameter (awFmIndexIsVersionValid,
+        # AwFmIndexStruct.c:132-134), so files with version 8 + k*65536
+        # load there — accept exactly what it accepts
+        if version & 0xFFFF != 8:
             raise ValueError(f"{path}: unsupported index version {version}")
         feature_flags = int(np.frombuffer(fh.read(4), "<u4")[0])
         ratio, k, alphabet_val, store_seq = fh.read(4)
@@ -284,7 +288,11 @@ def read_sequence_from_file(index: FmIndex, start: int, length: int) -> bytes:
         raise ValueError("index was built without the original sequence stored")
     if index.file_path is None:
         raise ValueError("index has no backing file")
-    if start + length > index.bwt_length:
+    if start < 0 or length < 0 or start + length > index.bwt_length:
+        # negative start would seek into the preceding file sections and
+        # return seed-table bytes as sequence; the reference's size_t
+        # start makes the same inputs fail its bounds check
+        # (AwFmFile.c:457-462)
         raise IndexError("illegal sequence position")
     offset = index.sequence_file_offset or sequence_file_offset(index)
     with open(index.file_path, "rb") as fh:

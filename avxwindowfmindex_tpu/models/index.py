@@ -110,6 +110,15 @@ class FastaMetadata:
         return len(self.sequence_ends)
 
     def get_header(self, sequence_number: int) -> bytes:
+        if not 0 <= sequence_number < self.num_sequences:
+            # the reference's size_t sequenceNumber makes a negative
+            # argument fail its bounds check (AwFmIllegalPositionError,
+            # AwFmSearch.c:303-315); Python indexing must not silently
+            # return the wrong record's header
+            raise IndexError(
+                f"sequence number {sequence_number} out of range "
+                f"[0, {self.num_sequences})"
+            )
         start = 0 if sequence_number == 0 else int(self.header_ends[sequence_number - 1])
         return self.headers[start:int(self.header_ends[sequence_number])]
 

@@ -577,7 +577,12 @@ class RangeShardedSearchEngine(SearchEngine):
             safe = jnp.clip(local_idx, 0, sps - 1)
             vals = jnp.where(owned, dev.sampled_sa[safe], jnp.uint32(0))
             sa_vals = jax.lax.psum(vals, AXIS)
-            return (sa_vals + off) % jnp.uint32(bwt_length)
+            # wrap-aware conditional subtract: sa + off can exceed 2^32
+            # when bwtLength > 2^31 (see search._resolve_samples)
+            n = jnp.uint32(bwt_length)
+            h = sa_vals + off
+            over = (h < sa_vals) | (h >= n)
+            return jnp.where(over, h - n, h)
 
         if self.wide:
             mapped = _shard_map(

@@ -648,9 +648,20 @@ def backtrace_all(dev, positions, bt=None):
 
 @jax.jit
 def _resolve_samples(dev, p, off):
-    """hit = (SA[p / ratio] + offset) % bwtLength (AwFmSuffixArray.c:189-190)."""
+    """hit = (SA[p / ratio] + offset) % bwtLength (AwFmSuffixArray.c:189-190).
+
+    sa < bwtLength and off < bwtLength, so sa + off < 2 * bwtLength —
+    but that sum can exceed 2^32 when bwtLength > 2^31, where a plain
+    uint32 `%` computes the mod of the WRAPPED sum (the reference does
+    this in u64). One conditional subtract with wrap detection is exact:
+    if the u32 add wrapped, the true value is h + 2^32 and h - n (mod
+    2^32) is the correct residue; otherwise subtract n iff h >= n.
+    """
     sa_vals = dev.sampled_sa[(p // jnp.uint32(dev.ratio)).astype(jnp.int32)]
-    return (sa_vals + off) % jnp.uint32(dev.bwt_length)
+    n = jnp.uint32(dev.bwt_length)
+    h = sa_vals + off
+    over = (h < sa_vals) | (h >= n)
+    return jnp.where(over, h - n, h)
 
 
 @jax.jit
@@ -701,11 +712,17 @@ def enumerate_range_positions(start, end, *, capacity):
     identical content and order to the reference's per-query
     positionList, keyed by query_ids.
     """
+    assert capacity < 2**31, "capacity must fit int32 repeat lengths"
     b = start.shape[0]
     valid = start <= end
-    counts = jnp.where(valid, end - start + jnp.uint32(1), jnp.uint32(0)).astype(
-        jnp.int32
-    )
+    # clamp per-range counts at capacity BEFORE the int32 cast: a count
+    # >= 2^31 (possible on a >2 Gbase near-mono corpus) would wrap
+    # negative and corrupt the repeat/cumsum assembly; a violated
+    # capacity precondition now degrades to masked truncation instead
+    counts = jnp.minimum(
+        jnp.where(valid, end - start + jnp.uint32(1), jnp.uint32(0)),
+        jnp.uint32(capacity),
+    ).astype(jnp.int32)
     seg_off = jnp.cumsum(counts) - counts  # exclusive prefix sum
     base = jnp.repeat(start, counts, total_repeat_length=capacity)
     off0 = jnp.repeat(
@@ -1336,6 +1353,23 @@ def iterative_step_backward_search(index: FmIndex, start_ptr: int, end_ptr: int,
     import jax.numpy as jnp
 
     dev = index.to_device()
+    if not isinstance(dev, DeviceIndex):  # wide (bwtLength >= 2^32)
+        from .ops import rank64 as r64
+
+        sh, sl = r64.split_u64_host(np.array([start_ptr], dtype=np.uint64))
+        eh, el = r64.split_u64_host(np.array([end_ptr], dtype=np.uint64))
+        nsh, nsl, neh, nel = r64.backward_step64(
+            dev,
+            jnp.asarray(sh), jnp.asarray(sl),
+            jnp.asarray(eh), jnp.asarray(el),
+            jnp.asarray(np.array([letter_index], dtype=np.int32)),
+            active=None,
+            check_valid=False,
+        )
+        join = lambda h, l: (int(np.asarray(h)[0]) << 32) | int(
+            np.asarray(l)[0]
+        )
+        return join(nsh, nsl), join(neh, nel)
     s, e = rank_ops.backward_step(
         dev,
         jnp.asarray(np.array([start_ptr], dtype=np.uint32)),
@@ -1399,6 +1433,19 @@ def backtrace_return_previous_letter_index(index: FmIndex, bwt_position: int):
     import jax.numpy as jnp
 
     dev = index.to_device()
+    if not isinstance(dev, DeviceIndex):  # wide (bwtLength >= 2^32)
+        from .ops import rank64 as r64
+
+        hi, lo = r64.split_u64_host(np.array([bwt_position], dtype=np.uint64))
+        lett, lf_hi, lf_lo = r64.letter_and_lf_at64(
+            dev, jnp.asarray(hi), jnp.asarray(lo)
+        )
+        lett_v = int(np.asarray(lett)[0])
+        if lett_v == dev.sentinel:
+            return 0, bwt_position
+        return lett_v, (int(np.asarray(lf_hi)[0]) << 32) | int(
+            np.asarray(lf_lo)[0]
+        )
     lett, lf = rank_ops.letter_and_lf_at(
         dev, jnp.asarray(np.array([bwt_position], dtype=np.uint32))
     )
@@ -1416,6 +1463,11 @@ def find_search_range_for_string(index: FmIndex, kmer: Union[str, bytes]):
     """
     eng = SearchEngine(index)
     mat, lengths, _ = eng.encode_kmers([kmer])
+    if eng.wide:
+        from . import search64
+
+        r = search64.ranges64(eng.dev, mat, lengths, seeded=False)
+        return int(r[0, 0]), int(r[0, 1])
     s, e = _unseeded_ranges(
         eng.dev, jnp.asarray(mat), jnp.asarray(lengths), n_steps=mat.shape[1] - 1
     )
