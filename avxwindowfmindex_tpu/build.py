@@ -157,6 +157,33 @@ def _build_from_sanitized(
     return index
 
 
+def _warn_mixed_case_amino(seq_arr: np.ndarray, alphabet: AlphabetType) -> None:
+    """Mixed-case amino databases are invalid input in BOTH libraries.
+
+    Amino sanitization preserves case (matching the reference), so the
+    suffix order is the mixed-case byte order while letter indices
+    collapse case — the resulting "BWT" is not a BWT, its LF mapping can
+    have fixed points, and locate loops forever (the reference hangs
+    identically). Nucleotide sanitization normalizes case, so this only
+    bites amino. Warn loudly instead of letting locate spin.
+    """
+    if alphabet != AlphabetType.AMINO:
+        return
+    has_upper = bool(((seq_arr >= 0x41) & (seq_arr <= 0x5A)).any())
+    has_lower = bool(((seq_arr >= 0x61) & (seq_arr <= 0x7A)).any())
+    if has_upper and has_lower:
+        import warnings
+
+        warnings.warn(
+            "mixed-case amino database: suffix order is case-sensitive "
+            "byte order but matching collapses case, so locate on this "
+            "index can loop forever (in the reference library too). "
+            "Normalize the database to a single case.",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 def create_index(
     sequence: Union[bytes, str, np.ndarray],
     config: Optional[IndexConfiguration] = None,
@@ -174,6 +201,7 @@ def create_index(
         seq_arr = np.asarray(sequence, dtype=np.uint8)
     if len(seq_arr) == 0:
         raise ValueError("sequence must be non-empty")
+    _warn_mixed_case_amino(seq_arr, config.alphabet_type)
     sanitized = alpha.sanitize(seq_arr, config.alphabet_type)
     # only materialize an original-sequence copy when it will be stored:
     # at genome scale this is a multi-GB buffer held through the peak-
@@ -202,9 +230,9 @@ def create_index_from_fasta(
     sequence, metadata = fasta_mod.read_fasta(fasta_src)
     if len(sequence) == 0:
         raise ValueError(f"no sequence data in {fasta_src}")
-    sanitized = alpha.sanitize(
-        np.frombuffer(sequence, dtype=np.uint8), config.alphabet_type
-    )
+    seq_arr = np.frombuffer(sequence, dtype=np.uint8)
+    _warn_mixed_case_amino(seq_arr, config.alphabet_type)
+    sanitized = alpha.sanitize(seq_arr, config.alphabet_type)
     return _build_from_sanitized(
         sanitized, sequence, config, metadata, index_file_src, sa_backend
     )

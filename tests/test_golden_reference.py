@@ -199,3 +199,66 @@ def test_localize_and_header_parity(driver, tmp_path, rng):
         parts = line.split(None, 2)
         assert int(parts[0]) == seq_num and int(parts[1]) == local, (pos, line)
         assert parts[2].encode() == header, (pos, line)
+
+
+def test_differential_fuzz_vs_reference(driver, tmp_path, rng):
+    """Randomized differential rounds: random (alphabet, ratio, k,
+    length, ambiguity density) configs, byte-identical files, and
+    identical locate output for sampled + random (possibly absent)
+    queries. Amino rounds avoid J/O/U queries (documented divergence:
+    the reference seed-aliases those; docs/PARITY.md).
+
+    Amino DATABASES must be single-case (README "Semantics parity
+    notes"): the suffix order is sanitized-ascii byte order while
+    letter indices collapse case, so a mixed-case amino database is an
+    invalid input whose LF mapping has fixed points — BOTH libraries
+    hang identically in locate on such input (verified; that is parity
+    too, but not a useful fuzz round). Nucleotide sanitization
+    normalizes case, so mixed-case DNA/RNA databases are fine.
+    """
+    AA_UP = AA[: len(AA) // 2]  # uppercase half of the pool
+    rounds = [
+        (AlphabetType.DNA, "dna", NT, "N", 1, 2),
+        (AlphabetType.DNA, "dna", NT, "NRY", 8, 5),
+        (AlphabetType.DNA, "dna", NT, None, 3, 4),
+        (AlphabetType.RNA, "rna", "ACGUacgu", "N", 4, 3),
+        (AlphabetType.AMINO, "amino", AA_UP, "BXZ", 2, 3),
+        (AlphabetType.AMINO, "amino", AA_UP, None, 5, 2),
+    ]
+    for i, (alphabet, alpha_str, letters, ambig, ratio, k) in enumerate(rounds):
+        n = int(rng.integers(1500, 6000))
+        seq = _random_seq(rng, n, letters, ambig)
+        seq_file = tmp_path / f"fuzz{i}.txt"
+        seq_file.write_bytes(seq)
+        golden_out = tmp_path / f"fuzz{i}_golden.awfmi"
+        ours_out = tmp_path / f"fuzz{i}_ours.awfmi"
+        gp.run_driver(
+            driver, "create-raw", str(seq_file), alpha_str,
+            str(ratio), str(k), "1", str(golden_out),
+        )
+        index = create_index(
+            seq, _cfg(alphabet, ratio, k), file_src=str(ours_out)
+        )
+        assert golden_out.read_bytes() == ours_out.read_bytes(), (
+            f"round {i}: files diverge"
+        )
+        engine = SearchEngine(index)
+        kmers = []
+        for _ in range(30):
+            m = int(rng.integers(1, 14))
+            lo = int(rng.integers(0, n - m))
+            kmers.append(seq[lo : lo + m].decode())
+        pool = list(dict.fromkeys(letters.upper()))
+        kmers += [
+            "".join(
+                pool[int(j)]
+                for j in rng.integers(0, len(pool), size=6)
+            )
+            for _ in range(6)
+        ]
+        golden_hits = _golden_locate(driver, golden_out, kmers, tmp_path)
+        ours_hits = engine.locate(kmers)
+        for km, g, o in zip(kmers, golden_hits, ours_hits):
+            np.testing.assert_array_equal(
+                g, o, err_msg=f"round {i}: {km!r}"
+            )

@@ -153,3 +153,19 @@ def test_version_field_u16_truncation_accepted(rng, tmp_path):
     path.write_bytes(bytes(data))
     with pytest.raises(ValueError, match="version"):
         read_index_from_file(str(path))
+
+
+def test_mixed_case_amino_database_warns(rng):
+    """A mixed-case amino database makes locate loop forever in BOTH
+    libraries (suffix order is case-sensitive byte order, matching
+    collapses case — LF gains fixed points): the builder must warn."""
+    import warnings
+
+    seq = (b"ACDEF" * 100) + (b"acdef" * 100)
+    with pytest.warns(UserWarning, match="mixed-case amino"):
+        create_index(seq, _cfg(AlphabetType.AMINO, k=2))
+    # single-case amino and mixed-case DNA stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        create_index(b"ACDEF" * 100, _cfg(AlphabetType.AMINO, k=2))
+        create_index(b"ACGTacgt" * 50, _cfg(AlphabetType.DNA, k=2))
