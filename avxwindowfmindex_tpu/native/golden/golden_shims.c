@@ -152,7 +152,12 @@ enum FastaVectorReturnCode fastaVectorReadFasta(const char *fileSrc,
       }
       for (size_t i = 0; ok && i < len; i++) {
         char c = line[i];
-        if (c != ' ' && c != '\t' && c != '\v' && c != '\f') {
+        /* '\r' filtered like the product parsers (io/fasta.py,
+         * native/src/awfm_host.cpp): a stray mid-line CR must not
+         * enter the sequence. Upstream FastaVector is unavailable in
+         * the snapshot; all three parsers keep this reconstructed
+         * convention in lock-step. */
+        if (c != ' ' && c != '\t' && c != '\v' && c != '\f' && c != '\r') {
           ok = stringPush(&v->sequence, &c, 1);
         }
       }
