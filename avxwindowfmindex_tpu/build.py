@@ -78,6 +78,7 @@ def _build_from_sanitized(
     fasta_metadata: Optional[FastaMetadata],
     file_src: Optional[str],
     sa_backend: Optional[str],
+    device_sa_ratio: Optional[int] = None,
 ) -> FmIndex:
     seq_with_sentinel = np.concatenate(
         [sanitized, np.array([ord("$")], dtype=np.uint8)]
@@ -92,6 +93,28 @@ def _build_from_sanitized(
     guard = sa_mod.guard_bytes_from_full_sa(
         sa, bwt_length, config.suffix_array_compression_ratio
     )
+    # denser DEVICE-side SA samples (TPU locate-speed knob; the .awfmi
+    # file keeps the config ratio): must be cut from the full SA, which
+    # exists only here
+    if device_sa_ratio is None:
+        import os
+
+        env = os.environ.get("AWFM_DEVICE_SA_RATIO")
+        device_sa_ratio = int(env) if env else None
+    device_sa = None
+    if device_sa_ratio is not None:
+        if device_sa_ratio < 1:
+            raise ValueError("device_sa_ratio must be >= 1")
+        if device_sa_ratio >= config.suffix_array_compression_ratio:
+            # no denser than the serialized samples: nothing to gain
+            device_sa_ratio = None
+        elif bwt_length // device_sa_ratio >= 2**31:
+            raise ValueError(
+                "dense device SA gather index must fit int32: need "
+                "bwtLength / device_sa_ratio < 2^31"
+            )
+        else:
+            device_sa = sa[::device_sa_ratio].astype(np.uint64)
     del sa  # the full SA (~25 GB at hg38 scale) is not needed past sampling
 
     feature_flags = 0
@@ -110,6 +133,8 @@ def _build_from_sanitized(
         feature_flags=feature_flags,
         sequence=original_sequence if config.store_original_sequence else None,
         fasta_metadata=fasta_metadata,
+        device_sa=device_sa,
+        device_sa_ratio=device_sa_ratio if device_sa is not None else None,
     )
 
     # seed table: batched BFS on device using the same backward-step math
@@ -189,9 +214,15 @@ def create_index(
     config: Optional[IndexConfiguration] = None,
     file_src: Optional[str] = None,
     sa_backend: Optional[str] = None,
+    device_sa_ratio: Optional[int] = None,
 ) -> FmIndex:
     """Build an index from a raw sequence (awFmCreateIndex,
-    AwFmCreate.c:31-137)."""
+    AwFmCreate.c:31-137).
+
+    ``device_sa_ratio``: optional DEVICE-side SA sampling denser than
+    the config ratio (env fallback AWFM_DEVICE_SA_RATIO) — the TPU
+    analogue of the reference's in-memory-SA locate-speed trade
+    (README.md:207-213); the .awfmi file keeps the config ratio."""
     config = config or IndexConfiguration()
     if isinstance(sequence, str):
         sequence = sequence.encode()
@@ -212,7 +243,8 @@ def create_index(
             sequence if isinstance(sequence, bytes) else bytes(seq_arr)
         )
     return _build_from_sanitized(
-        sanitized, original, config, None, file_src, sa_backend
+        sanitized, original, config, None, file_src, sa_backend,
+        device_sa_ratio,
     )
 
 
@@ -221,6 +253,7 @@ def create_index_from_fasta(
     config: Optional[IndexConfiguration] = None,
     index_file_src: Optional[str] = None,
     sa_backend: Optional[str] = None,
+    device_sa_ratio: Optional[int] = None,
 ) -> FmIndex:
     """Build an index from every sequence in a FASTA file
     (awFmCreateIndexFromFasta, AwFmCreate.c:140-279)."""
@@ -234,5 +267,6 @@ def create_index_from_fasta(
     _warn_mixed_case_amino(seq_arr, config.alphabet_type)
     sanitized = alpha.sanitize(seq_arr, config.alphabet_type)
     return _build_from_sanitized(
-        sanitized, sequence, config, metadata, index_file_src, sa_backend
+        sanitized, sequence, config, metadata, index_file_src, sa_backend,
+        device_sa_ratio
     )

@@ -340,6 +340,17 @@ class FmIndex:
     sa_guard_bytes: bytes = b"\x00" * 8
     suffix_array_file_offset: Optional[int] = None
     sequence_file_offset: Optional[int] = None
+    # Denser DEVICE-side suffix-array samples (the TPU analogue of the
+    # reference's memory-for-locate-speed trade, README.md:207-213):
+    # sampled at device_sa_ratio < saCompressionRatio when requested at
+    # build (create_index(device_sa_ratio=...)). NOT serialized — the
+    # .awfmi file keeps the config ratio and stays byte-compatible; a
+    # file-loaded index cannot densify without rebuilding (the full SA
+    # exists only during construction, exactly as in the reference).
+    device_sa: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+    device_sa_ratio: Optional[int] = None
     _device_cache: Optional[DeviceIndex] = dataclasses.field(
         default=None, repr=False, compare=False
     )
@@ -480,6 +491,14 @@ class FmIndex:
         else:
             # placeholder until the builder attaches the real table
             seed_dev = jnp.zeros((1, 2), dtype=jnp.uint32)
+        # denser device-side SA (device_sa_ratio < config ratio) when it
+        # was requested at build: shortens every LF backtrace chain at
+        # HBM cost, results identical (tests/test_locate.py)
+        dev_sa = self.sampled_sa
+        dev_ratio = int(self.config.suffix_array_compression_ratio)
+        if self.device_sa is not None:
+            dev_sa = self.device_sa
+            dev_ratio = int(self.device_sa_ratio)
         dev = DeviceIndex(
             packed=jnp.asarray(packed),
             packed_pair=pair,
@@ -488,16 +507,15 @@ class FmIndex:
             # None = suffix array left on disk; locate resolves via file
             # reads (awFmGetSuffixArrayValueFromFile parity)
             sampled_sa=(
-                None
-                if self.sampled_sa is None
-                else jnp.asarray(self.sampled_sa.astype(np.uint32))
+                None if dev_sa is None
+                else jnp.asarray(dev_sa.astype(np.uint32))
             ),
             code_masks=jnp.asarray(device_code_masks(self.alphabet)),
             vec_to_index=jnp.asarray(
                 alpha.vector_to_index_lut(self.alphabet).astype(np.int32)
             ),
             bwt_length=int(self.bwt_length),
-            ratio=int(self.config.suffix_array_compression_ratio),
+            ratio=dev_ratio,
             kmer_length_in_seed_table=int(self.config.kmer_length_in_seed_table),
             alphabet=self.alphabet,
         )

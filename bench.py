@@ -255,11 +255,29 @@ def main():
     )
     _log(f"building index: {NUM_BASES} bases, seed k={SEED_K}")
     seq_bytes = seq_arr.tobytes()
+    # also cut a denser device-side SA (the TPU in-memory-SA locate
+    # trade, create_index(device_sa_ratio=...)): measured as a separate
+    # meta stage below; the HEADLINE stages keep the protocol ratio 8
+    dense_ratio = int(os.environ.get("AWFM_BENCH_DEVICE_SA_RATIO", 4))
     t0 = time.time()
-    index = create_index(seq_bytes, cfg)
+    index = create_index(
+        seq_bytes, cfg, device_sa_ratio=dense_ratio or None
+    )
     build_s = time.time() - t0
     _log(f"index built in {build_s:.1f}s")
     dev = index.to_device()
+    dev_dense = None
+    if index.device_sa is not None:
+        import dataclasses as _dc
+
+        # to_device prefers the dense SA when present; the protocol dev
+        # swaps the config-ratio samples back in
+        dev_dense = dev
+        dev = _dc.replace(
+            dev,
+            sampled_sa=jnp.asarray(index.sampled_sa.astype(np.uint32)),
+            ratio=int(cfg.suffix_array_compression_ratio),
+        )
     ngram_n = int(os.environ.get("AWFM_BENCH_NGRAM", 2))
     t0 = time.time()
     dig = ngram_ops.build_ngram_device(index, ngram_n)
@@ -428,6 +446,33 @@ def main():
     locate_all_qps = NUM_QUERIES / med
     locate_all_hps = total_hits / med
 
+    # locate (full hit list) with the DENSE device SA: same answers,
+    # device_sa_ratio-length LF chains instead of ratio-8 ones
+    dense_qps = None
+    dense_times = None
+    if dev_dense is not None:
+        def run_locate_all_dense(defer=True):
+            total = jnp.uint32(0)
+            pend = []
+            for cm in chunks:
+                s, e = _ngram_ranges_steploop(
+                    dev_dense, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K,
+                    defer=pend if defer else None,
+                )
+                hits, _qid, _mask = locate_flat_device(
+                    dev_dense, s, e, capacity=cap
+                )
+                total = total + hits[0]
+            if not defer:
+                _ = int(np.asarray(total))
+                return
+            _finish(total, pend, lambda: run_locate_all_dense(defer=False))
+
+        med, dense_times = _time_stage(
+            f"locate_all_dense_sa_r{dense_ratio}", run_locate_all_dense
+        )
+        dense_qps = NUM_QUERIES / med
+
     # locate (multi-hit): the reference's real locate workload resolves
     # MANY positions per query (AwFmParallelSearch.c:315-365); random
     # 25-mers are ~all unique, so this stage uses short kmers to stress
@@ -533,6 +578,14 @@ def main():
         locate_all_qps, ngram_n=ngram_n,
         locate_positions_per_query=cap / chunk_q, batch=cap, **roof_kw,
     )
+    dense_roof = None
+    if dev_dense is not None:
+        dense_roof = roofline.report(
+            dense_qps, kmer_len=KMER_LEN, seed_k=SEED_K,
+            ratio=dense_ratio, ngram_n=ngram_n,
+            locate_positions_per_query=cap / chunk_q, batch=cap,
+            rates=rates, row_bytes=rb,
+        )
     # unseeded multihit range phase = (L-1) classic single steps of two
     # single-row gathers each: modeled as seed_k=1 + pair_rows=False
     multihit_roof = roofline.report(
@@ -563,6 +616,11 @@ def main():
         "locate_all_hits_per_sec": round(locate_all_hps),
         "locate_all_times": locate_all_times,
         "total_hits": total_hits,
+        "device_sa_ratio": dense_ratio if dev_dense is not None else None,
+        "locate_all_dense_sa_qps": (
+            round(dense_qps) if dense_qps else None
+        ),
+        "locate_all_dense_sa_times": dense_times,
         "multihit_kmer_len": mh_len,
         "multihit_queries": mh_q,
         "multihit_total_hits": mh_total,
@@ -578,6 +636,7 @@ def main():
         "count_ngram_roofline": count2_roof,
         "locate_roofline": locate_roof,
         "locate_all_roofline": locate_all_roof,
+        "locate_all_dense_sa_roofline": dense_roof,
         "multihit_roofline": multihit_roof,
     }
     print(json.dumps({"meta": meta}))

@@ -168,3 +168,51 @@ def test_total_hits_exact_past_2_32(rng):
     assert want > 2**32  # the test must actually cross the boundary
     got = search_mod.total_hits_host(start, end)
     assert got == want, (got, want)
+
+
+def test_dense_device_sa_parity(rng, tmp_path):
+    """create_index(device_sa_ratio=r) must change ONLY the device-side
+    SA density: identical count/locate answers, dev.ratio == r, and a
+    byte-identical .awfmi (the file keeps the config ratio)."""
+    seq = random_sequence(rng, 3000, AlphabetType.DNA)
+    cfg = _cfg(AlphabetType.DNA, ratio=8)
+    plain_file = tmp_path / "plain.awfmi"
+    dense_file = tmp_path / "dense.awfmi"
+    plain = create_index(seq, cfg, file_src=str(plain_file))
+    dense = create_index(
+        seq, cfg, file_src=str(dense_file), device_sa_ratio=2
+    )
+    assert plain_file.read_bytes() == dense_file.read_bytes()
+
+    dev = dense.to_device()
+    assert dev.ratio == 2
+    assert dev.sampled_sa.shape[0] == (dense.bwt_length + 1) // 2
+    assert plain.to_device().ratio == 8
+
+    e_plain = SearchEngine(plain)
+    e_dense = SearchEngine(dense)
+    kmers = [random_kmer(rng, int(rng.integers(2, 9)), AlphabetType.DNA)
+             for _ in range(80)]
+    np.testing.assert_array_equal(e_dense.count(kmers), e_plain.count(kmers))
+    for km, a, b in zip(kmers, e_dense.locate(kmers), e_plain.locate(kmers)):
+        np.testing.assert_array_equal(a, b, err_msg=repr(km))
+    # a ratio-1 device SA degenerates the backtrace to zero LF steps
+    instant = create_index(seq, cfg, device_sa_ratio=1)
+    assert instant.to_device().ratio == 1
+    e_instant = SearchEngine(instant)
+    for km, a, b in zip(kmers, e_instant.locate(kmers), e_plain.locate(kmers)):
+        np.testing.assert_array_equal(a, b, err_msg=repr(km))
+
+
+def test_dense_device_sa_env_and_validation(rng, monkeypatch):
+    seq = random_sequence(rng, 500, AlphabetType.DNA)
+    cfg = _cfg(AlphabetType.DNA, ratio=4)
+    monkeypatch.setenv("AWFM_DEVICE_SA_RATIO", "2")
+    idx = create_index(seq, cfg)
+    assert idx.device_sa_ratio == 2 and idx.to_device().ratio == 2
+    monkeypatch.delenv("AWFM_DEVICE_SA_RATIO")
+    # >= config ratio: silently ignored (nothing to gain)
+    idx2 = create_index(seq, cfg, device_sa_ratio=8)
+    assert idx2.device_sa is None and idx2.to_device().ratio == 4
+    with pytest.raises(ValueError):
+        create_index(seq, cfg, device_sa_ratio=0)
