@@ -93,10 +93,13 @@ BASELINE_COUNT_QPS = 3.5e6
 BASELINE_LOCATE_QPS = 2.5e6
 
 NUM_BASES = int(os.environ.get("AWFM_BENCH_BASES", 64_000_000))
-# 1M queries = one compiled chunk shape; every published number uses
-# this protocol. AWFM_BENCH_QUERIES=4194304 runs 4 chunks and amortizes
-# each stage's single host sync over 4x the work (~+4% expected).
-NUM_QUERIES = int(os.environ.get("AWFM_BENCH_QUERIES", 1_048_576))
+# 4M queries = four 1M compiled chunks. Validated on chip vs the 1M
+# protocol (experiments/bench_r3_4m.json vs bench_r3_run2.json):
+# amortizing each stage's single ~30 ms host sync over 4 chunks lifts
+# count +21% / digram count +26% and leaves the locate stages within
+# noise — the production-representative protocol. AWFM_BENCH_QUERIES
+# overrides (1048576 reproduces the round-2 protocol).
+NUM_QUERIES = int(os.environ.get("AWFM_BENCH_QUERIES", 4_194_304))
 KMER_LEN = int(os.environ.get("AWFM_BENCH_KMER_LEN", 25))
 # Seed k is THE reference tuning knob (/root/reference/README.md:196-202,
 # 268 MB at k=12 on CPU). On TPU the v5e HBM affords k=14 (2.1 GB u32

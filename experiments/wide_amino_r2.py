@@ -31,7 +31,7 @@ NUM_LETTERS = int(os.environ.get("AWFM_WIDE_AA_LETTERS", 64_000_000))
 Q = 1 << 20
 KMER_LEN = 20
 SEED_K = 5
-REPS = 4
+REPS = int(os.environ.get("AWFM_WIDE_AA_REPS", 4))
 
 AA_LETTERS = b"acdefghiklmnpqrstvwy"
 
