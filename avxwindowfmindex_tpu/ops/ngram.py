@@ -279,6 +279,74 @@ def _word_value(letter_list):
 
 
 _PAIR_IOTA = np.arange(64, dtype=np.int32)
+_PAIR_IOTA32 = np.arange(16, dtype=np.int32)
+
+
+def _use_u32_lanes() -> bool:
+    """Opt-in u32-lane match/mask/popcount (AWFM_NGRAM_U32=1).
+
+    Rows stay uint8 in HBM; the kernel bitcasts the gathered plane
+    bytes to u32 lanes so the XOR/OR/AND/popcount network works on 4
+    bytes per VPU op. Read at trace time (the step programs are jitted
+    per engine); results are bit-identical either way
+    (tests/test_ngram.py::test_u32_lane_path_identical).
+    """
+    import os
+
+    return os.environ.get("AWFM_NGRAM_U32", "0") == "1"
+
+
+def _pair_rows32(ng: NgramIndex, rows):
+    """Bitcast a WHOLE gathered pair row to u32 lanes (one relayout):
+    plane i occupies lanes [16i, 16i+16); the n_words milestones start
+    at lane ms_offset/4 — so the milestone select reads the same u32
+    view instead of paying a second u8->u32 bitcast (the separate
+    bitcast showed up as +3.5 ms/step in ab_r3_stepdecomp)."""
+    n_words, _, n_planes, ms_offset, row_bytes = _geometry_pair(ng.n)
+    lanes = (ms_offset + n_words * 4) // 4
+    return lax.bitcast_convert_type(
+        rows[:, : lanes * 4].reshape(-1, lanes, 4), jnp.uint32
+    )
+
+
+def _pair_milestone_u32(ng: NgramIndex, rows32, v):
+    """Milestone one-hot select over the u32 row view (no bitcast)."""
+    n_words, _, n_planes, ms_offset, _ = _geometry_pair(ng.n)
+    base = ms_offset // 4
+    ms = jnp.zeros(v.shape, dtype=jnp.uint32)
+    for j in range(n_words):
+        ms = ms + jnp.where(v == j, rows32[:, base + j], jnp.uint32(0))
+    return ms
+
+
+def _pair_match_u32(ng: NgramIndex, rows32, v):
+    """(B, 16) u32 match bits for word value v over a pair row."""
+    _, _, n_planes, _, _ = _geometry_pair(ng.n)
+    diff = None
+    for i in range(n_planes):
+        # 0x00000000 / 0xFFFFFFFF from bit i of v (two's-complement neg)
+        m = jnp.uint32(0) - ((v >> i) & 1).astype(jnp.uint32)
+        x = rows32[:, i * 16 : (i + 1) * 16] ^ m[:, None]
+        diff = x if diff is None else (diff | x)
+    return ~diff
+
+
+def _pair_mask_u32(local):
+    """(B, 16) u32 inclusive mask, local in [0, 512).
+
+    Keep bits 0..local across the 16 little-endian u32 lanes; for
+    bits == 31 the `2 << 31` wraps to 0 in u32 and -1 yields the full
+    lane, exactly as required.
+    """
+    lane_idx = (local >> 5)[:, None]
+    bits = (local & 31)[:, None].astype(jnp.uint32)
+    low = (jnp.uint32(2) << bits) - jnp.uint32(1)
+    lanes = _PAIR_IOTA32[None, :]
+    return jnp.where(
+        lanes < lane_idx,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(lanes == lane_idx, low, jnp.uint32(0)),
+    )
 
 
 def _pair_match(ng: NgramIndex, rows, v):
@@ -334,9 +402,18 @@ def ngram_occurrence(ng: NgramIndex, positions, letter_list):
     local = (positions % POSITIONS_PER_BLOCK).astype(jnp.int32)
     rows = ng.packed[blk]
     v = _word_value(letter_list)
+    if _use_u32_lanes():
+        rows32 = _pair_rows32(ng, rows)
+        match = _pair_match_u32(ng, rows32, v)
+        cnt = jnp.sum(
+            lax.population_count(match & _pair_mask_u32(local)),
+            axis=1, dtype=jnp.int32,
+        )
+        return _pair_milestone_u32(ng, rows32, v) + cnt.astype(jnp.uint32)
     match = _pair_match(ng, rows, v)
     cnt = jnp.sum(
-        lax.population_count(match & _pair_mask(local)), axis=1, dtype=jnp.int32
+        lax.population_count(match & _pair_mask(local)),
+        axis=1, dtype=jnp.int32,
     )
     return _pair_milestone(ng, rows, v) + cnt.astype(jnp.uint32)
 
@@ -380,18 +457,31 @@ def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
     local_e = jnp.minimum(delta_e, jnp.uint32(511)).astype(jnp.int32)
 
     rows = ng.packed[base]
-    match = _pair_match(ng, rows, v)
-    occ_s = jnp.sum(
-        lax.population_count(match & _pair_mask(local_s)),
-        axis=1,
-        dtype=jnp.int32,
-    )
-    occ_e = jnp.sum(
-        lax.population_count(match & _pair_mask(local_e)),
-        axis=1,
-        dtype=jnp.int32,
-    )
-    ms = _pair_milestone(ng, rows, v)
+    if _use_u32_lanes():
+        rows32 = _pair_rows32(ng, rows)
+        match = _pair_match_u32(ng, rows32, v)
+        occ_s = jnp.sum(
+            lax.population_count(match & _pair_mask_u32(local_s)),
+            axis=1, dtype=jnp.int32,
+        )
+        occ_e = jnp.sum(
+            lax.population_count(match & _pair_mask_u32(local_e)),
+            axis=1, dtype=jnp.int32,
+        )
+        ms = _pair_milestone_u32(ng, rows32, v)
+    else:
+        match = _pair_match(ng, rows, v)
+        occ_s = jnp.sum(
+            lax.population_count(match & _pair_mask(local_s)),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        occ_e = jnp.sum(
+            lax.population_count(match & _pair_mask(local_e)),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        ms = _pair_milestone(ng, rows, v)
     new_start = cn + ms + occ_s.astype(jnp.uint32)
     new_end = cn + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)
     keep = start <= end

@@ -38,6 +38,82 @@ from ..models import alphabet as alpha
 
 POSITIONS_PER_BLOCK = 256
 _BYTE_IOTA = np.arange(32, dtype=np.int32)  # bytes per 256-bit plane
+_LANE_IOTA8 = np.arange(8, dtype=np.int32)  # u32 lanes per 256-bit plane
+_LANE_IOTA16 = np.arange(16, dtype=np.int32)  # u32 lanes per 512-bit plane
+
+
+import os
+
+
+def _use_u32_lanes() -> bool:
+    """Opt-in u32-lane match/mask/popcount for the single-letter rank
+    kernels (AWFM_RANK_U32=1): rows stay uint8 in HBM; the kernel
+    bitcasts each gathered row to u32 lanes ONCE, so the XOR/OR/AND/
+    popcount network works on 4 bytes per VPU op and the milestone
+    select reads the same u32 view (the separate u8->u32 milestone
+    bitcast measured +3.5 ms/1M-row step: ab_r3_stepdecomp). Read at
+    trace time; bit-identical results (tests/test_occurrence.py)."""
+    return os.environ.get("AWFM_RANK_U32", "0") == "1"
+
+
+def _rows32_view(rows, n_lanes):
+    """Bitcast the first 4*n_lanes bytes of gathered rows to u32 lanes."""
+    return lax.bitcast_convert_type(
+        rows[:, : n_lanes * 4].reshape(-1, n_lanes, 4), jnp.uint32
+    )
+
+
+def _code_mask_words(dev, letter_indices):
+    """Per-plane (B,) u32 0x00000000/0xFFFFFFFF code masks (one-hot)."""
+    lut = np.asarray(alpha.index_to_vector_lut(dev.alphabet))
+    out = []
+    for i in range(dev.n_planes):
+        m = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
+        for j in range(dev.cardinality + 1):
+            if (lut[j] >> i) & 1:
+                m = m | (
+                    jnp.uint32(0)
+                    - (letter_indices == j).astype(jnp.uint32)
+                )
+        out.append(m)
+    return out
+
+
+def _match_words(dev, rows32, letter_indices, lanes_per_plane):
+    """(B, lanes_per_plane) u32 match bits (u32-lane _match_bytes)."""
+    cms = _code_mask_words(dev, letter_indices)
+    diff = None
+    for i in range(dev.n_planes):
+        x = (
+            rows32[:, i * lanes_per_plane : (i + 1) * lanes_per_plane]
+            ^ cms[i][:, None]
+        )
+        diff = x if diff is None else (diff | x)
+    return ~diff
+
+
+def _inclusive_mask_words(local, lane_iota):
+    """u32-lane inclusive mask keeping bits 0..local; for bits == 31 the
+    `2 << 31` wraps to 0 in u32 and -1 yields the full lane."""
+    lane_idx = (local >> 5)[:, None]
+    bits = (local & 31)[:, None].astype(jnp.uint32)
+    low = (jnp.uint32(2) << bits) - jnp.uint32(1)
+    lanes = lane_iota[None, :]
+    return jnp.where(
+        lanes < lane_idx,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(lanes == lane_idx, low, jnp.uint32(0)),
+    )
+
+
+def _milestone_words(dev, rows32, letter_indices, ms_lane):
+    """Milestone one-hot select over the u32 row view (no 2nd bitcast)."""
+    out = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
+    for j in range(dev.cardinality + 1):
+        out = out + jnp.where(
+            letter_indices == j, rows32[:, ms_lane + j], jnp.uint32(0)
+        )
+    return out
 
 
 def _gather_rows(dev, positions):
@@ -119,6 +195,15 @@ def _prefix_sum_select(dev, letter_indices):
 
 
 def _count_rows(dev, rows, local, letter_indices):
+    if _use_u32_lanes():
+        ms_lane = dev.milestone_offset // 4
+        rows32 = _rows32_view(rows, ms_lane + dev.cardinality + 1)
+        match = _match_words(dev, rows32, letter_indices, 8)
+        masked = match & _inclusive_mask_words(local, _LANE_IOTA8)
+        cnt = jnp.sum(lax.population_count(masked), axis=1, dtype=jnp.int32)
+        return _milestone_words(
+            dev, rows32, letter_indices, ms_lane
+        ) + cnt.astype(jnp.uint32)
     match = _match_bytes(dev, rows, letter_indices)
     masked = match & _inclusive_mask(local)
     cnt = jnp.sum(lax.population_count(masked), axis=1, dtype=jnp.int32)
@@ -249,18 +334,36 @@ def backward_step_pair(dev, start, end, letter_indices, bad, active=None):
     local_e = jnp.minimum(delta_e, jnp.uint32(511)).astype(jnp.int32)
 
     rows = dev.packed_pair[base]
-    match = _match_bytes_pair(dev, rows, letter_indices)
-    occ_s = jnp.sum(
-        lax.population_count(match & _inclusive_mask_pair(local_s)),
-        axis=1,
-        dtype=jnp.int32,
-    )
-    occ_e = jnp.sum(
-        lax.population_count(match & _inclusive_mask_pair(local_e)),
-        axis=1,
-        dtype=jnp.int32,
-    )
-    ms = _milestone_pair(dev, rows, letter_indices)
+    if _use_u32_lanes():
+        ms_lane = dev.n_planes * 16
+        rows32 = _rows32_view(rows, ms_lane + dev.cardinality + 1)
+        match = _match_words(dev, rows32, letter_indices, 16)
+        occ_s = jnp.sum(
+            lax.population_count(
+                match & _inclusive_mask_words(local_s, _LANE_IOTA16)
+            ),
+            axis=1, dtype=jnp.int32,
+        )
+        occ_e = jnp.sum(
+            lax.population_count(
+                match & _inclusive_mask_words(local_e, _LANE_IOTA16)
+            ),
+            axis=1, dtype=jnp.int32,
+        )
+        ms = _milestone_words(dev, rows32, letter_indices, ms_lane)
+    else:
+        match = _match_bytes_pair(dev, rows, letter_indices)
+        occ_s = jnp.sum(
+            lax.population_count(match & _inclusive_mask_pair(local_s)),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        occ_e = jnp.sum(
+            lax.population_count(match & _inclusive_mask_pair(local_e)),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        ms = _milestone_pair(dev, rows, letter_indices)
     new_start = c + ms + occ_s.astype(jnp.uint32)
     new_end = c + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)
 
@@ -284,6 +387,19 @@ def pair_occurrence_single(dev, positions, letter_indices):
     blk = (positions // POSITIONS_PER_BLOCK).astype(jnp.int32)
     local = (positions % POSITIONS_PER_BLOCK).astype(jnp.int32)
     rows = dev.packed_pair[blk]
+    if _use_u32_lanes():
+        ms_lane = dev.n_planes * 16
+        rows32 = _rows32_view(rows, ms_lane + dev.cardinality + 1)
+        match = _match_words(dev, rows32, letter_indices, 16)
+        cnt = jnp.sum(
+            lax.population_count(
+                match & _inclusive_mask_words(local, _LANE_IOTA16)
+            ),
+            axis=1, dtype=jnp.int32,
+        )
+        return _milestone_words(
+            dev, rows32, letter_indices, ms_lane
+        ) + cnt.astype(jnp.uint32)
     match = _match_bytes_pair(dev, rows, letter_indices)
     cnt = jnp.sum(
         lax.population_count(match & _inclusive_mask_pair(local)),

@@ -188,3 +188,57 @@ def test_letter_counts_before_chunked(rng, monkeypatch):
     for i, b in enumerate(bounds):
         for x in range(4):
             assert out[x, i] == int((bwt[:b] == x).sum()), (x, b)
+
+
+def test_u32_lane_path_identical(rng, monkeypatch):
+    """AWFM_NGRAM_U32=1 (u32-lane match/mask/popcount) must be
+    bit-identical to the byte-lane path for both step formulations."""
+    import jax.numpy as jnp
+
+    from avxwindowfmindex_tpu import AlphabetType, IndexConfiguration, create_index
+    from avxwindowfmindex_tpu.ops import ngram as ngram_ops
+
+    seq = bytes(
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=4000).tobytes()
+    )
+    cfg = IndexConfiguration(4, 3, AlphabetType.DNA)
+    index = create_index(seq, cfg)
+    ng = ngram_ops.build_ngram_device(index, 2)
+
+    b = 512
+    start = jnp.asarray(
+        rng.integers(0, index.bwt_length - 1, size=b).astype(np.uint32)
+    )
+    width = rng.integers(0, 600, size=b).astype(np.uint32)
+    end = jnp.asarray(
+        np.minimum(
+            np.asarray(start, dtype=np.uint64) + width,
+            index.bwt_length - 1,
+        ).astype(np.uint32)
+    )
+    letters = [
+        jnp.asarray(rng.integers(0, 4, size=b).astype(np.int32))
+        for _ in range(2)
+    ]
+    pos = jnp.asarray(
+        rng.integers(0, index.bwt_length, size=b).astype(np.uint32)
+    )
+
+    def run_all():
+        # fresh traces per env setting: the knob is read at trace time
+        occ = jnp.asarray(ngram_ops.ngram_occurrence(ng, pos, letters))
+        s1, e1 = ngram_ops.ngram_backward_step(ng, start, end, letters)
+        s2, e2, bad = ngram_ops.ngram_backward_step_pair(
+            ng, start, end, letters, jnp.zeros(b, dtype=bool)
+        )
+        return (
+            np.asarray(occ), np.asarray(s1), np.asarray(e1),
+            np.asarray(s2), np.asarray(e2), np.asarray(bad),
+        )
+
+    monkeypatch.setenv("AWFM_NGRAM_U32", "0")
+    base = run_all()
+    monkeypatch.setenv("AWFM_NGRAM_U32", "1")
+    got = run_all()
+    for a, b_ in zip(base, got):
+        np.testing.assert_array_equal(a, b_)

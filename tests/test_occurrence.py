@@ -41,6 +41,56 @@ def test_occurrence_matches_cumulative_counts(rng, alphabet):
 
 
 @pytest.mark.parametrize("alphabet", [AlphabetType.DNA, AlphabetType.AMINO])
+def test_u32_lane_rank_identical(rng, alphabet, monkeypatch):
+    """AWFM_RANK_U32=1 (u32-lane match/mask/popcount in the single-
+    letter kernels) must be bit-identical to the byte-lane path across
+    occurrence, the fused pair-row step, and the single-position pair
+    lookup, for both alphabets. (Measured slower on chip — recorded
+    dead end, experiments/ab_r3_u32lanes_results.txt — but the knob
+    stays available and must stay correct.)"""
+    seq = random_sequence(rng, 3000, alphabet)
+    index = create_index(seq, IndexConfiguration(4, 2, alphabet))
+    dev = index.to_device()
+    n = index.bwt_length
+
+    b = 512
+    positions = jnp.asarray(np.concatenate([
+        rng.integers(0, n, size=b - 6),
+        np.array([0, 7, 8, 255 % n, min(256, n - 1), n - 1]),
+    ]).astype(np.uint32))
+    letters = jnp.asarray(
+        rng.integers(0, index.cardinality + 1, size=b).astype(np.int32)
+    )
+    start = jnp.asarray(rng.integers(0, n - 1, size=b).astype(np.uint32))
+    width = rng.integers(0, 600, size=b).astype(np.uint32)
+    end = jnp.asarray(
+        np.minimum(np.asarray(start, np.uint64) + width, n - 1).astype(
+            np.uint32
+        )
+    )
+
+    def run_all():
+        out = [np.asarray(rank_ops.occurrence(dev, positions, letters))]
+        if dev.packed_pair is not None:
+            s2, e2, bad = rank_ops.backward_step_pair(
+                dev, start, end, letters, jnp.zeros(b, dtype=bool)
+            )
+            out += [np.asarray(s2), np.asarray(e2), np.asarray(bad)]
+            out.append(np.asarray(
+                rank_ops.pair_occurrence_single(dev, positions, letters)
+            ))
+        return out
+
+    monkeypatch.setenv("AWFM_RANK_U32", "0")
+    base = run_all()
+    monkeypatch.setenv("AWFM_RANK_U32", "1")
+    got = run_all()
+    assert len(base) > 1 or alphabet is AlphabetType.AMINO
+    for a, g in zip(base, got):
+        np.testing.assert_array_equal(a, g)
+
+
+@pytest.mark.parametrize("alphabet", [AlphabetType.DNA, AlphabetType.AMINO])
 def test_letter_and_lf_matches_host(rng, alphabet):
     seq = random_sequence(rng, 1500, alphabet)
     index = create_index(seq, IndexConfiguration(4, 2, alphabet))
