@@ -374,8 +374,53 @@ def _pair_mask(local):
     )
 
 
+def _use_ms_wsum() -> bool:
+    """Opt-in weighted-byte-sum milestone select (AWFM_MS_WSUM=1).
+
+    Replaces the u8->u32 `bitcast_convert_type` + per-word column
+    selects (the +3.5 ms/step term in ab_r3_stepdecomp) with a fully
+    fusable elementwise form: widen the milestone bytes to u32,
+    multiply by the little-endian byte weight (1, 2^8, 2^16, 2^24) and
+    a word-select mask, and reduce-sum. The u32 accumulation wraps mod
+    2^32, which is exact for a stored u32. Read at trace time;
+    bit-identical (tests/test_ngram.py::test_alt_kernel_paths_identical).
+    """
+    import os
+
+    return os.environ.get("AWFM_MS_WSUM", "0") == "1"
+
+
+_WSUM_CONSTS: dict = {}
+
+
+def _wsum_consts(n_words: int):
+    """(word_id, byte_weight) rows for an n_words*4-byte milestone
+    section: word_id[i] = i//4 (int32), weight[i] = 2^(8*(i%4)) (u32)."""
+    if n_words not in _WSUM_CONSTS:
+        nb = n_words * 4
+        wid = (np.arange(nb, dtype=np.int32) // 4).astype(np.int32)
+        wgt = (1 << (8 * (np.arange(nb) % 4))).astype(np.uint32)
+        _WSUM_CONSTS[n_words] = (wid, wgt)
+    return _WSUM_CONSTS[n_words]
+
+
+def _milestone_wsum(section, v, n_words):
+    """Masked weighted-byte-sum milestone: section (B, n_words*4) u8,
+    v (B,) int32 word values -> (B,) u32 milestones."""
+    wid, wgt = _wsum_consts(n_words)
+    sel = jnp.asarray(wid)[None, :] == v[:, None]
+    terms = section.astype(jnp.uint32) * jnp.asarray(wgt)[None, :]
+    return jnp.sum(
+        jnp.where(sel, terms, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+    )
+
+
 def _pair_milestone(ng: NgramIndex, rows, v):
     n_words, _, _, ms_offset, _ = _geometry_pair(ng.n)
+    if _use_ms_wsum():
+        return _milestone_wsum(
+            rows[:, ms_offset : ms_offset + n_words * 4], v, n_words
+        )
     ms_all = lax.bitcast_convert_type(
         rows[:, ms_offset : ms_offset + n_words * 4].reshape(-1, n_words, 4),
         jnp.uint32,

@@ -175,8 +175,30 @@ def _milestones_u32(dev, rows):
     return lax.bitcast_convert_type(raw, jnp.uint32)
 
 
+def _use_ms_wsum() -> bool:
+    """Opt-in weighted-byte-sum milestone select (AWFM_MS_WSUM=1) — see
+    ops/ngram.py:_use_ms_wsum for the rationale. Read at trace time;
+    bit-identical (tests/test_occurrence.py::test_alt_rank_paths)."""
+    return os.environ.get("AWFM_MS_WSUM", "0") == "1"
+
+
+def _milestone_wsum(section, letter_indices, n_words):
+    """Masked weighted-byte-sum milestone over the raw u8 section —
+    no bitcast relayout, no per-word column selects; u32 accumulation
+    wraps mod 2^32, exact for a stored u32."""
+    from . import ngram as _ngram_ops
+
+    return _ngram_ops._milestone_wsum(section, letter_indices, n_words)
+
+
 def _milestone(dev, rows, letter_indices):
     """Milestone for each row's letter via arithmetic one-hot select."""
+    if _use_ms_wsum():
+        card = dev.cardinality
+        off = dev.milestone_offset
+        return _milestone_wsum(
+            rows[:, off : off + (card + 1) * 4], letter_indices, card + 1
+        )
     ms = _milestones_u32(dev, rows)
     out = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)
     for j in range(dev.cardinality + 1):
@@ -305,6 +327,10 @@ def _milestone_pair(dev, rows, letter_indices):
     """Block-b milestone from a pair row (one-hot select)."""
     card = dev.cardinality
     off = dev.n_planes * 64
+    if _use_ms_wsum():
+        return _milestone_wsum(
+            rows[:, off : off + (card + 1) * 4], letter_indices, card + 1
+        )
     raw = rows[:, off : off + (card + 1) * 4].reshape(-1, card + 1, 4)
     ms = lax.bitcast_convert_type(raw, jnp.uint32)
     out = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)

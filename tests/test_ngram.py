@@ -190,9 +190,12 @@ def test_letter_counts_before_chunked(rng, monkeypatch):
             assert out[x, i] == int((bwt[:b] == x).sum()), (x, b)
 
 
-def test_u32_lane_path_identical(rng, monkeypatch):
-    """AWFM_NGRAM_U32=1 (u32-lane match/mask/popcount) must be
-    bit-identical to the byte-lane path for both step formulations."""
+@pytest.mark.parametrize("knob", ["AWFM_NGRAM_U32", "AWFM_MS_WSUM"])
+def test_u32_lane_path_identical(rng, monkeypatch, knob):
+    """Alternate kernel formulations must be bit-identical to the
+    byte-lane default for both step formulations: AWFM_NGRAM_U32
+    (u32-lane match/mask/popcount) and AWFM_MS_WSUM (weighted-byte-sum
+    milestone select, no bitcast)."""
     import jax.numpy as jnp
 
     from avxwindowfmindex_tpu import AlphabetType, IndexConfiguration, create_index
@@ -236,9 +239,9 @@ def test_u32_lane_path_identical(rng, monkeypatch):
             np.asarray(s2), np.asarray(e2), np.asarray(bad),
         )
 
-    monkeypatch.setenv("AWFM_NGRAM_U32", "0")
+    monkeypatch.setenv(knob, "0")
     base = run_all()
-    monkeypatch.setenv("AWFM_NGRAM_U32", "1")
+    monkeypatch.setenv(knob, "1")
     got = run_all()
     for a, b_ in zip(base, got):
         np.testing.assert_array_equal(a, b_)

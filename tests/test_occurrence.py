@@ -40,14 +40,15 @@ def test_occurrence_matches_cumulative_counts(rng, alphabet):
         np.testing.assert_array_equal(got, want, err_msg=f"letter {lett}")
 
 
+@pytest.mark.parametrize("knob", ["AWFM_RANK_U32", "AWFM_MS_WSUM"])
 @pytest.mark.parametrize("alphabet", [AlphabetType.DNA, AlphabetType.AMINO])
-def test_u32_lane_rank_identical(rng, alphabet, monkeypatch):
-    """AWFM_RANK_U32=1 (u32-lane match/mask/popcount in the single-
-    letter kernels) must be bit-identical to the byte-lane path across
-    occurrence, the fused pair-row step, and the single-position pair
-    lookup, for both alphabets. (Measured slower on chip — recorded
-    dead end, experiments/ab_r3_u32lanes_results.txt — but the knob
-    stays available and must stay correct.)"""
+def test_u32_lane_rank_identical(rng, alphabet, monkeypatch, knob):
+    """Alternate single-letter kernel formulations must be bit-identical
+    to the byte-lane default across occurrence, the fused pair-row step,
+    and the single-position pair lookup, for both alphabets:
+    AWFM_RANK_U32 (u32-lane match/mask/popcount — measured slower on
+    chip, recorded dead end, experiments/ab_r3_u32lanes_results.txt)
+    and AWFM_MS_WSUM (weighted-byte-sum milestone select)."""
     seq = random_sequence(rng, 3000, alphabet)
     index = create_index(seq, IndexConfiguration(4, 2, alphabet))
     dev = index.to_device()
@@ -81,9 +82,9 @@ def test_u32_lane_rank_identical(rng, alphabet, monkeypatch):
             ))
         return out
 
-    monkeypatch.setenv("AWFM_RANK_U32", "0")
+    monkeypatch.setenv(knob, "0")
     base = run_all()
-    monkeypatch.setenv("AWFM_RANK_U32", "1")
+    monkeypatch.setenv(knob, "1")
     got = run_all()
     assert len(base) > 1 or alphabet is AlphabetType.AMINO
     for a, g in zip(base, got):
