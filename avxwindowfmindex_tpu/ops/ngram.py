@@ -320,14 +320,17 @@ def _pair_milestone_u32(ng: NgramIndex, rows32, v):
 
 
 def _pair_match_u32(ng: NgramIndex, rows32, v):
-    """(B, 16) u32 match bits for word value v over a pair row."""
+    """(B, 16) u32 match bits for word value v over a pair row.
+
+    Top plane = dirty marker, plain OR (see _pair_match)."""
     _, _, n_planes, _, _ = _geometry_pair(ng.n)
     diff = None
-    for i in range(n_planes):
+    for i in range(n_planes - 1):
         # 0x00000000 / 0xFFFFFFFF from bit i of v (two's-complement neg)
         m = jnp.uint32(0) - ((v >> i) & 1).astype(jnp.uint32)
         x = rows32[:, i * 16 : (i + 1) * 16] ^ m[:, None]
         diff = x if diff is None else (diff | x)
+    diff = diff | rows32[:, (n_planes - 1) * 16 : n_planes * 16]
     return ~diff
 
 
@@ -350,14 +353,20 @@ def _pair_mask_u32(local):
 
 
 def _pair_match(ng: NgramIndex, rows, v):
-    """(B, 64) uint8 match bits for word value v over a pair row."""
+    """(B, 64) uint8 match bits for word value v over a pair row.
+
+    The top plane (index 2n) is the dirty marker: clean query words
+    (letters in [0,4), the kernel contract) never set that bit, so its
+    contribution is a plain OR of the plane bytes — no per-query
+    broadcast XOR."""
     _, _, n_planes, _, _ = _geometry_pair(ng.n)
     full = jnp.uint8(0xFF)
     diff = None
-    for i in range(n_planes):
+    for i in range(n_planes - 1):
         m = ((v >> i) & 1).astype(jnp.uint8) * full
         x = rows[:, i * 64 : (i + 1) * 64] ^ m[:, None]
         diff = x if diff is None else (diff | x)
+    diff = diff | rows[:, (n_planes - 1) * 64 : n_planes * 64]
     return ~diff
 
 
