@@ -73,10 +73,15 @@ class NgramIndex:
     packed: object  # (num_blocks, pair_row_bytes) uint8
     cn: object  # (4**n,) uint32: range start of each n-mer
     n: int  # static: letters per step
+    # When True the stored milestones are PRE-BIASED: milestone[b][w]
+    # holds Cn[w] + occ_before_block(w, b) (exact in u32, bwtLength <
+    # 2^32 on this path), so the backward step is ms + popcount with no
+    # per-query Cn one-hot select. AWFM_MS_PREBIAS=1 at build time.
+    biased: bool = False
 
 
 jax.tree_util.register_dataclass(
-    NgramIndex, data_fields=["packed", "cn"], meta_fields=["n"]
+    NgramIndex, data_fields=["packed", "cn"], meta_fields=["n", "biased"]
 )
 
 
@@ -245,21 +250,34 @@ def pair_rows_from_ngram_blocks(packed: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def build_ngram_device(index: FmIndex, n: int) -> NgramIndex:
+def build_ngram_device(index: FmIndex, n: int, bias_cn=None) -> NgramIndex:
     # Rows stay uint8 lanes: a u32-word variant of this table (isolated
     # A/B +7%, experiments/ab_r2_u32rank_results.txt) measured 1.6x
     # SLOWER end-to-end in bench.py's digram count (7.05M -> 4.3-4.5M
     # q/s medians across two runs each way) and was reverted — the
     # micro-bench's cache state did not transfer to the full pipeline.
+    import os
+
+    if bias_cn is None:
+        bias_cn = os.environ.get("AWFM_MS_PREBIAS", "0") == "1"
     codes, cn = build_ngram_host(index, n)
     blocks = pack_ngram_blocks(codes, n)
     del codes
     pair = pair_rows_from_ngram_blocks(blocks, n)
     del blocks
+    if bias_cn:
+        n_words, _, _, ms_offset, _ = _geometry_pair(n)
+        ms = pair[:, ms_offset : ms_offset + n_words * 4].copy()
+        ms32 = ms.view("<u4").reshape(-1, n_words)
+        ms32 += cn.astype(np.uint32)[None, :]
+        pair[:, ms_offset : ms_offset + n_words * 4] = ms.reshape(
+            pair.shape[0], n_words * 4
+        )
     return NgramIndex(
         packed=jnp.asarray(pair),
         cn=jnp.asarray(cn.astype(np.uint32)),
         n=n,
+        biased=bool(bias_cn),
     )
 
 
@@ -451,6 +469,8 @@ def ngram_occurrence(ng: NgramIndex, positions, letter_list):
     """Batched occn(w, pos), inclusive. letter_list: n arrays in [0,4).
 
     Single-position rank via the first-block half of a pair row.
+    When ``ng.biased`` the returned value is Cn[w] + occn(w, pos) —
+    i.e. directly the backward-step range bound.
     """
     blk = (positions // POSITIONS_PER_BLOCK).astype(jnp.int32)
     local = (positions % POSITIONS_PER_BLOCK).astype(jnp.int32)
@@ -481,11 +501,13 @@ def ngram_backward_step(ng: NgramIndex, start, end, letter_list):
     behind ngram_backward_step_pair.
     """
     b = start.shape[0]
-    v = _word_value(letter_list)
-    cn = _cn_select(ng, v)
     pos = jnp.concatenate([start - jnp.uint32(1), end])
     doubled = [jnp.concatenate([l, l]) for l in letter_list]
     occ = ngram_occurrence(ng, pos, doubled)
+    if ng.biased:
+        cn = jnp.uint32(0)  # Cn[w] lives in the stored milestones
+    else:
+        cn = _cn_select(ng, _word_value(letter_list))
     new_start = cn + occ[:b]
     new_end = cn + occ[b:] - jnp.uint32(1)
     keep = start <= end
@@ -500,7 +522,10 @@ def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
     two-gather step by the caller.
     """
     v = _word_value(letter_list)
-    cn = _cn_select(ng, v)
+    if ng.biased:
+        cn = jnp.uint32(0)  # Cn[w] lives in the stored milestones
+    else:
+        cn = _cn_select(ng, v)
     pos_s = start - jnp.uint32(1)
     base = (pos_s >> jnp.uint32(8)).astype(jnp.int32)
     local_s = (pos_s & jnp.uint32(0xFF)).astype(jnp.int32)

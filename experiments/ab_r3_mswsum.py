@@ -51,7 +51,7 @@ def child():
         backtrace_all,
     )
 
-    tag = "wsum" if ngram_ops._use_ms_wsum() else "u8"
+    tag = os.environ["AWFM_AB_TAG"]
     rng = np.random.default_rng(1234)
     seq = rng.choice(np.frombuffer(b"acgt", np.uint8), size=NUM_BASES)
     cfg = IndexConfiguration(
@@ -113,11 +113,19 @@ def child():
     print(json.dumps(out), flush=True)
 
 
+CONFIGS = [
+    ("u8", {}),
+    ("wsum", {"AWFM_MS_WSUM": "1"}),
+    ("wsum_bias", {"AWFM_MS_WSUM": "1", "AWFM_MS_PREBIAS": "1"}),
+]
+
+
 def main():
     results = {}
-    for flag in ("0", "1"):
+    for tag, flags in CONFIGS:
         env = dict(os.environ)
-        env["AWFM_MS_WSUM"] = flag
+        env.update(flags)
+        env["AWFM_AB_TAG"] = tag
         env["AWFM_AB_CHILD"] = "1"
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -127,9 +135,10 @@ def main():
         assert p.returncode == 0, p.stderr[-4000:]
         res = json.loads(p.stdout.strip().split("\n")[-1])
         results[res.pop("tag")] = res
-    # the two paths must produce identical fold checks
-    assert results["u8"]["check_count"] == results["wsum"]["check_count"]
-    assert results["u8"]["check_locate"] == results["wsum"]["check_locate"]
+    # all paths must produce identical fold checks
+    for tag, _ in CONFIGS[1:]:
+        assert results["u8"]["check_count"] == results[tag]["check_count"]
+        assert results["u8"]["check_locate"] == results[tag]["check_locate"]
     print(json.dumps({"exp": "milestone_wsum", **results}), flush=True)
 
 

@@ -245,3 +245,58 @@ def test_u32_lane_path_identical(rng, monkeypatch, knob):
     got = run_all()
     for a, b_ in zip(base, got):
         np.testing.assert_array_equal(a, b_)
+
+
+def test_prebias_milestones_identical(rng):
+    """A Cn-pre-biased table (AWFM_MS_PREBIAS / bias_cn=True) must give
+    bit-identical backward steps to the unbiased table in both
+    formulations, and its occurrence must be exactly Cn[w] + occ."""
+    import jax.numpy as jnp
+
+    from avxwindowfmindex_tpu import AlphabetType, IndexConfiguration, create_index
+    from avxwindowfmindex_tpu.ops import ngram as ngram_ops
+
+    seq = bytes(
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), size=5000).tobytes()
+    )
+    index = create_index(seq, IndexConfiguration(4, 3, AlphabetType.DNA))
+    ng = ngram_ops.build_ngram_device(index, 2, bias_cn=False)
+    ngb = ngram_ops.build_ngram_device(index, 2, bias_cn=True)
+    assert not ng.biased and ngb.biased
+
+    b = 512
+    start = jnp.asarray(
+        rng.integers(0, index.bwt_length - 1, size=b).astype(np.uint32)
+    )
+    width = rng.integers(0, 600, size=b).astype(np.uint32)
+    end = jnp.asarray(
+        np.minimum(
+            np.asarray(start, dtype=np.uint64) + width,
+            index.bwt_length - 1,
+        ).astype(np.uint32)
+    )
+    letters = [
+        jnp.asarray(rng.integers(0, 4, size=b).astype(np.int32))
+        for _ in range(2)
+    ]
+    pos = jnp.asarray(
+        rng.integers(0, index.bwt_length, size=b).astype(np.uint32)
+    )
+
+    s1, e1 = ngram_ops.ngram_backward_step(ng, start, end, letters)
+    s1b, e1b = ngram_ops.ngram_backward_step(ngb, start, end, letters)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e1b))
+
+    bad0 = jnp.zeros(b, dtype=bool)
+    s2, e2, bad = ngram_ops.ngram_backward_step_pair(ng, start, end, letters, bad0)
+    s2b, e2b, badb = ngram_ops.ngram_backward_step_pair(ngb, start, end, letters, bad0)
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(s2b))
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(e2b))
+    np.testing.assert_array_equal(np.asarray(bad), np.asarray(badb))
+
+    occ = np.asarray(ngram_ops.ngram_occurrence(ng, pos, letters))
+    occb = np.asarray(ngram_ops.ngram_occurrence(ngb, pos, letters))
+    v = np.asarray(letters[0]) * 4 + np.asarray(letters[1])
+    cn = np.asarray(ng.cn)
+    np.testing.assert_array_equal(occb, occ + cn[v])
