@@ -315,9 +315,52 @@ def _match_bytes_pair64(dev, rows, letter_indices):
     return ~diff
 
 
+_WSUM64_CONSTS: dict = {}
+
+
+def _wsum64_consts(n_words: int):
+    """(word_id, lo_weight, hi_weight) for an n_words*8-byte u64
+    milestone section: byte k of each little-endian u64 weighs
+    2^(8*(k%4)) into the low (k<4) or high (k>=4) u32 half."""
+    if n_words not in _WSUM64_CONSTS:
+        nb = n_words * 8
+        i = np.arange(nb)
+        k = i % 8
+        wid = (i // 8).astype(np.int32)
+        w = (1 << (8 * (k % 4))).astype(np.uint32)
+        _WSUM64_CONSTS[n_words] = (
+            wid,
+            np.where(k < 4, w, 0).astype(np.uint32),
+            np.where(k >= 4, w, 0).astype(np.uint32),
+        )
+    return _WSUM64_CONSTS[n_words]
+
+
+def _use_ms_wsum() -> bool:
+    """Same knob as ops/rank.py / ops/ngram.py (AWFM_MS_WSUM=1): select
+    milestones by weighted byte sums instead of bitcast + per-word
+    column selects. Bit-identical (tests/test_wide.py)."""
+    import os
+
+    return os.environ.get("AWFM_MS_WSUM", "0") == "1"
+
+
 def _milestone64(dev, rows, letter_indices):
     card = dev.cardinality
     off = dev.milestone_offset
+    if _use_ms_wsum():
+        wid, wlo, whi = _wsum64_consts(card + 1)
+        sect = rows[:, off : off + (card + 1) * 8].astype(jnp.uint32)
+        sel = jnp.asarray(wid)[None, :] == letter_indices[:, None]
+        out_lo = jnp.sum(
+            jnp.where(sel, sect * jnp.asarray(wlo)[None, :], _U0),
+            axis=1, dtype=jnp.uint32,
+        )
+        out_hi = jnp.sum(
+            jnp.where(sel, sect * jnp.asarray(whi)[None, :], _U0),
+            axis=1, dtype=jnp.uint32,
+        )
+        return out_hi, out_lo
     raw = rows[:, off : off + (card + 1) * 8].reshape(-1, card + 1, 2, 4)
     words = lax.bitcast_convert_type(raw, jnp.uint32)  # (B, card+1, 2)
     out_lo = jnp.zeros(letter_indices.shape, dtype=jnp.uint32)

@@ -149,6 +149,28 @@ def _synthetic_wide_dev(letters_blocks: np.ndarray, base: int,
     )
 
 
+def test_wsum_milestone64_identical(rng, monkeypatch):
+    """AWFM_MS_WSUM=1 (weighted-byte-sum milestone halves) must match
+    the bitcast one-hot path bit-for-bit on a table whose milestones
+    straddle 2^32 — the case where a wrong lo/hi byte weight or a
+    carry mistake would show."""
+    nb = 16
+    letters = rng.integers(0, 6, size=(nb, 256)).astype(np.uint8)
+    dev, ms, ps = _synthetic_wide_dev(letters, 2**32 - 100)
+
+    positions = rng.integers(0, nb * 256, size=512, dtype=np.uint64)
+    letts = jnp.asarray(rng.integers(0, 5, size=512).astype(np.int32))
+    p_hi, p_lo = r64.split_u64_host(positions)
+    args = (dev, jnp.asarray(p_hi), jnp.asarray(p_lo), letts)
+
+    monkeypatch.setenv("AWFM_MS_WSUM", "0")
+    base_hi, base_lo = map(np.asarray, r64.occurrence64(*args))
+    monkeypatch.setenv("AWFM_MS_WSUM", "1")
+    got_hi, got_lo = map(np.asarray, r64.occurrence64(*args))
+    np.testing.assert_array_equal(base_hi, got_hi)
+    np.testing.assert_array_equal(base_lo, got_lo)
+
+
 def test_carry_rank_straddles_2_32(rng):
     """occurrence64 with milestones just below/above 2^32 vs u64 oracle."""
     nb = 16
