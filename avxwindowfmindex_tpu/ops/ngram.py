@@ -258,8 +258,11 @@ def build_ngram_device(index: FmIndex, n: int, bias_cn=None) -> NgramIndex:
     # micro-bench's cache state did not transfer to the full pipeline.
     import os
 
+    # Cn pre-bias is DEFAULT ON (measured +6% digram count on top of
+    # the wsum milestones, ab_r3_mswsum_results.txt); AWFM_MS_PREBIAS=0
+    # opts out (e.g. for tables whose milestones must stay raw counts).
     if bias_cn is None:
-        bias_cn = os.environ.get("AWFM_MS_PREBIAS", "0") == "1"
+        bias_cn = os.environ.get("AWFM_MS_PREBIAS", "1") == "1"
     codes, cn = build_ngram_host(index, n)
     blocks = pack_ngram_blocks(codes, n)
     del codes
@@ -402,7 +405,8 @@ def _pair_mask(local):
 
 
 def _use_ms_wsum() -> bool:
-    """Opt-in weighted-byte-sum milestone select (AWFM_MS_WSUM=1).
+    """Weighted-byte-sum milestone select — DEFAULT ON (AWFM_MS_WSUM=0
+    opts back into the bitcast one-hot form).
 
     Replaces the u8->u32 `bitcast_convert_type` + per-word column
     selects (the +3.5 ms/step term in ab_r3_stepdecomp) with a fully
@@ -410,11 +414,13 @@ def _use_ms_wsum() -> bool:
     multiply by the little-endian byte weight (1, 2^8, 2^16, 2^24) and
     a word-select mask, and reduce-sum. The u32 accumulation wraps mod
     2^32, which is exact for a stored u32. Read at trace time;
-    bit-identical (tests/test_ngram.py::test_alt_kernel_paths_identical).
+    bit-identical (tests/test_ngram.py::test_u32_lane_path_identical).
+    Measured on v5e (ab_r3_mswsum_results.txt): digram count +20%,
+    locate_first +6% over the bitcast form.
     """
     import os
 
-    return os.environ.get("AWFM_MS_WSUM", "0") == "1"
+    return os.environ.get("AWFM_MS_WSUM", "1") == "1"
 
 
 _WSUM_CONSTS: dict = {}

@@ -176,10 +176,11 @@ def _milestones_u32(dev, rows):
 
 
 def _use_ms_wsum() -> bool:
-    """Opt-in weighted-byte-sum milestone select (AWFM_MS_WSUM=1) — see
-    ops/ngram.py:_use_ms_wsum for the rationale. Read at trace time;
-    bit-identical (tests/test_occurrence.py::test_alt_rank_paths)."""
-    return os.environ.get("AWFM_MS_WSUM", "0") == "1"
+    """Weighted-byte-sum milestone select — DEFAULT ON; see
+    ops/ngram.py:_use_ms_wsum for rationale and measurements. Read at
+    trace time; bit-identical
+    (tests/test_occurrence.py::test_u32_lane_rank_identical)."""
+    return os.environ.get("AWFM_MS_WSUM", "1") == "1"
 
 
 def _milestone_wsum(section, letter_indices, n_words):

@@ -337,12 +337,13 @@ def _wsum64_consts(n_words: int):
 
 
 def _use_ms_wsum() -> bool:
-    """Same knob as ops/rank.py / ops/ngram.py (AWFM_MS_WSUM=1): select
+    """Same knob as ops/rank.py / ops/ngram.py — DEFAULT ON: select
     milestones by weighted byte sums instead of bitcast + per-word
-    column selects. Bit-identical (tests/test_wide.py)."""
+    column selects. Bit-identical
+    (tests/test_index64.py::test_wsum_milestone64_identical)."""
     import os
 
-    return os.environ.get("AWFM_MS_WSUM", "0") == "1"
+    return os.environ.get("AWFM_MS_WSUM", "1") == "1"
 
 
 def _milestone64(dev, rows, letter_indices):
