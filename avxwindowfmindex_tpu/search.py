@@ -551,6 +551,50 @@ def _gather_undone(dev, p, off, *, m):
     return idx, p[idx], off[idx]
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _gather_undone_cumsum(dev, p, off, *, m):
+    """Same contract as _gather_undone via cumsum + drop-mode scatter
+    (padded slots index row 0, like nonzero's fill_value=0) — a probe
+    for whether XLA's sized-nonzero is the compaction bottleneck."""
+    mask = (p % jnp.uint32(dev.ratio)) != 0
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    src = jnp.where(mask, pos, m)  # done rows scatter out of bounds
+    idx = (
+        jnp.zeros(m, dtype=jnp.int32)
+        .at[src]
+        .set(jnp.arange(p.shape[0], dtype=jnp.int32), mode="drop")
+    )
+    return idx, p[idx], off[idx]
+
+
+def _bt_schedule(ratio: int):
+    """Backtrace compaction schedule (read per call; all settings keep
+    the result EXACT — the final while_loop net catches statistical
+    truncation of any level):
+
+      AWFM_BT_FIRST_SEG  LF steps before the first compaction
+                         (default: ratio)
+      AWFM_BT_LEVEL_SEG  LF steps walked per compacted level
+                         (default: ratio)
+      AWFM_BT_SLACK      percent headroom over the expected binomial
+                         survival when sizing a level (default 31 —
+                         reproduces the measured-safe 45%-of-batch
+                         first level at ratio 8)
+      AWFM_BT_COMPACT    'nonzero' (default) or 'cumsum'
+    """
+    import os
+
+    first_seg = int(os.environ.get("AWFM_BT_FIRST_SEG", "0")) or ratio
+    level_seg = int(os.environ.get("AWFM_BT_LEVEL_SEG", "0")) or ratio
+    slack = int(os.environ.get("AWFM_BT_SLACK", "31"))
+    gather = (
+        _gather_undone_cumsum
+        if os.environ.get("AWFM_BT_COMPACT") == "cumsum"
+        else _gather_undone
+    )
+    return first_seg, level_seg, slack, gather
+
+
 @jax.jit
 def _scatter_back(p, off, idx, sub_p, sub_off):
     return p.at[idx].set(sub_p), off.at[idx].set(sub_off)
@@ -625,19 +669,23 @@ def backtrace_all(dev, positions, bt=None):
         # every BWT position is sampled: nothing to walk
         return positions, jnp.zeros_like(positions)
     b = positions.shape[0]
-    seg = dev.ratio
+    first_seg, level_seg, slack, gather_undone = _bt_schedule(dev.ratio)
     zeros = jnp.zeros_like(positions)
-    p, off = _backtrace_steps_any(dev, positions, zeros, seg, bt)
-    # nested compaction levels (survival after `seg` steps ~(1-1/r)^r)
+    p, off = _backtrace_steps_any(dev, positions, zeros, first_seg, bt)
+    # nested compaction levels, each sized at the expected binomial
+    # survival of its parent (+slack%); survival after k masked steps
+    # is (1 - 1/ratio)^k
+    surv_first = (1.0 - 1.0 / dev.ratio) ** first_seg
+    surv_level = (1.0 - 1.0 / dev.ratio) ** level_seg
     levels = []
     cur_p, cur_off = p, off
-    m = _round_up((b * 45) // 100, 256)
+    m = _round_up(int(b * surv_first * (100 + slack) / 100), 256)
     while m >= 4096 and m < cur_p.shape[0]:
-        idx, sub_p, sub_off = _gather_undone(dev, cur_p, cur_off, m=m)
-        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, seg, bt)
+        idx, sub_p, sub_off = gather_undone(dev, cur_p, cur_off, m=m)
+        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, level_seg, bt)
         levels.append((idx, cur_p, cur_off))
         cur_p, cur_off = sub_p, sub_off
-        m = _round_up((m * 45) // 100, 256)
+        m = _round_up(int(m * surv_level * (100 + slack) / 100), 256)
     cur_p, cur_off = _backtrace_to_sampled_carry(dev, cur_p, cur_off)
     for idx, par_p, par_off in reversed(levels):
         cur_p, cur_off = _scatter_back(par_p, par_off, idx, cur_p, cur_off)
