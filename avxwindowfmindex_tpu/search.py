@@ -570,29 +570,38 @@ def _gather_undone_cumsum(dev, p, off, *, m):
 def _bt_schedule(ratio: int):
     """Backtrace compaction schedule (read per call; all settings keep
     the result EXACT — the final while_loop net catches statistical
-    truncation of any level):
+    truncation of any level). Defaults are the winners of the round-3
+    on-chip sweep (experiments/ab_r3_btsched2_results.txt: base 0.262 s
+    -> tight 0.192 s per 1M ratio-8 locate_first, -26.5%):
 
       AWFM_BT_FIRST_SEG  LF steps before the first compaction
                          (default: ratio)
       AWFM_BT_LEVEL_SEG  LF steps walked per compacted level
-                         (default: ratio)
+                         (default: 2*ratio — half the compaction
+                         passes; the walked arrays are already small)
       AWFM_BT_SLACK      percent headroom over the expected binomial
-                         survival when sizing a level (default 31 —
-                         reproduces the measured-safe 45%-of-batch
-                         first level at ratio 8)
-      AWFM_BT_COMPACT    'nonzero' (default) or 'cumsum'
+                         survival when sizing a level (default 8;
+                         3-sigma-safe down to 4096-row levels, and
+                         truncation costs exactness-net iterations,
+                         not correctness)
+      AWFM_BT_COMPACT    'cumsum' (default: cumsum + drop-mode scatter)
+                         or 'nonzero' (XLA sized nonzero)
+      AWFM_BT_MIN_LEVEL  smallest compaction level; below this the
+                         stragglers finish in a masked while_loop
+                         (default 4096)
     """
     import os
 
     first_seg = int(os.environ.get("AWFM_BT_FIRST_SEG", "0")) or ratio
-    level_seg = int(os.environ.get("AWFM_BT_LEVEL_SEG", "0")) or ratio
-    slack = int(os.environ.get("AWFM_BT_SLACK", "31"))
+    level_seg = int(os.environ.get("AWFM_BT_LEVEL_SEG", "0")) or 2 * ratio
+    slack = int(os.environ.get("AWFM_BT_SLACK", "8"))
+    min_level = int(os.environ.get("AWFM_BT_MIN_LEVEL", "4096"))
     gather = (
-        _gather_undone_cumsum
-        if os.environ.get("AWFM_BT_COMPACT") == "cumsum"
-        else _gather_undone
+        _gather_undone
+        if os.environ.get("AWFM_BT_COMPACT") == "nonzero"
+        else _gather_undone_cumsum
     )
-    return first_seg, level_seg, slack, gather
+    return first_seg, level_seg, slack, min_level, gather
 
 
 @jax.jit
@@ -639,13 +648,14 @@ def backtrace_all(dev, positions, bt=None):
       1. one ratio-step masked pass over the full batch
          (survival ~(1-1/r)^r ~ 34%);
       2. NESTED compaction: gather the statistically-sized undone set
-         (45% + slack per level — binomial 3-sigma at these sizes is
-         <1%), walk ratio more steps, and keep compacting the COMPACTED
-         array — unlike scatter-every-round scheduling, the O(B)
-         nonzero cost shrinks with each level (measured 22 ms per
-         full-batch nonzero vs 30 ms for the whole 8-step first pass:
-         experiments/ab_r2_btsched_results.txt);
-      3. the <4096 stragglers finish in an on-device masked while_loop;
+         (expected binomial survival + slack — binomial 3-sigma at
+         these sizes is <1%), walk more steps, and keep compacting the
+         COMPACTED array — unlike scatter-every-round scheduling, the
+         O(B) compaction cost shrinks with each level; schedule
+         parameters (segment lengths, slack, compaction formulation,
+         straggler threshold) are env-tunable, defaults from the
+         round-3 sweep (_bt_schedule);
+      3. the straggler tail finishes in an on-device masked while_loop;
       4. scatter each level back into its parent, innermost first;
       5. a final full-batch while_loop guarantees exactness against
          statistical truncation at any level — when nothing was
@@ -669,7 +679,9 @@ def backtrace_all(dev, positions, bt=None):
         # every BWT position is sampled: nothing to walk
         return positions, jnp.zeros_like(positions)
     b = positions.shape[0]
-    first_seg, level_seg, slack, gather_undone = _bt_schedule(dev.ratio)
+    first_seg, level_seg, slack, min_level, gather_undone = _bt_schedule(
+        dev.ratio
+    )
     zeros = jnp.zeros_like(positions)
     p, off = _backtrace_steps_any(dev, positions, zeros, first_seg, bt)
     # nested compaction levels, each sized at the expected binomial
@@ -680,7 +692,7 @@ def backtrace_all(dev, positions, bt=None):
     levels = []
     cur_p, cur_off = p, off
     m = _round_up(int(b * surv_first * (100 + slack) / 100), 256)
-    while m >= 4096 and m < cur_p.shape[0]:
+    while m >= min_level and m < cur_p.shape[0]:
         idx, sub_p, sub_off = gather_undone(dev, cur_p, cur_off, m=m)
         sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, level_seg, bt)
         levels.append((idx, cur_p, cur_off))

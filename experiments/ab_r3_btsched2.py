@@ -52,17 +52,34 @@ KMER_LEN = 25
 SEED_K = 12
 REPS = int(os.environ.get("AWFM_AB_REPS", 5))
 
-CONFIGS = [
-    ("base", {}),
-    ("slack8", {"AWFM_BT_SLACK": "8"}),
-    ("seg2x", {"AWFM_BT_LEVEL_SEG": "16"}),
-    ("first5", {"AWFM_BT_FIRST_SEG": "5"}),
-    ("cumsum", {"AWFM_BT_COMPACT": "cumsum"}),
-    ("tight", {"AWFM_BT_SLACK": "8", "AWFM_BT_LEVEL_SEG": "16",
-               "AWFM_BT_COMPACT": "cumsum"}),
+# Round 1 of the sweep (ab_r3_btsched2_results.txt): base 0.2616 /
+# slack8 0.2417 / seg2x 0.2236 / first5 0.2490 / cumsum 0.2449 /
+# tight(slack8+seg2x+cumsum) 0.1924 s. `tight` became the default;
+# round 2 refines around it (AWFM_AB_ROUND=2).
+ROUND1 = [
+    ("base", {"AWFM_BT_SLACK": "31", "AWFM_BT_LEVEL_SEG": "8",
+              "AWFM_BT_COMPACT": "nonzero"}),
+    ("slack8", {"AWFM_BT_SLACK": "8", "AWFM_BT_LEVEL_SEG": "8",
+                "AWFM_BT_COMPACT": "nonzero"}),
+    ("seg2x", {"AWFM_BT_SLACK": "31", "AWFM_BT_LEVEL_SEG": "16",
+               "AWFM_BT_COMPACT": "nonzero"}),
+    ("first5", {"AWFM_BT_SLACK": "31", "AWFM_BT_LEVEL_SEG": "8",
+                "AWFM_BT_COMPACT": "nonzero", "AWFM_BT_FIRST_SEG": "5"}),
+    ("cumsum", {"AWFM_BT_SLACK": "31", "AWFM_BT_LEVEL_SEG": "8"}),
+    ("tight", {}),
 ]
+ROUND2 = [
+    ("tight", {}),  # the new default: slack 8, level seg 2*ratio, cumsum
+    ("seg24", {"AWFM_BT_LEVEL_SEG": "24"}),
+    ("slack4", {"AWFM_BT_SLACK": "4"}),
+    ("min16k", {"AWFM_BT_MIN_LEVEL": "16384"}),
+    ("min16k_seg24", {"AWFM_BT_MIN_LEVEL": "16384",
+                      "AWFM_BT_LEVEL_SEG": "24"}),
+    ("first16", {"AWFM_BT_FIRST_SEG": "16"}),
+]
+CONFIGS = ROUND2 if os.environ.get("AWFM_AB_ROUND") == "2" else ROUND1
 KNOBS = ["AWFM_BT_SLACK", "AWFM_BT_LEVEL_SEG", "AWFM_BT_FIRST_SEG",
-         "AWFM_BT_COMPACT"]
+         "AWFM_BT_COMPACT", "AWFM_BT_MIN_LEVEL"]
 
 
 def log(m):
@@ -147,7 +164,7 @@ def main():
     for k in KNOBS:
         os.environ.pop(k, None)
     assert len(set(checks.values())) == 1, checks
-    out["check_locate"] = checks["base"]
+    out["check_locate"] = checks[CONFIGS[0][0]]
     print(json.dumps(out), flush=True)
     log("done")
 
