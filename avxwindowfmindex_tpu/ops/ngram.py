@@ -373,6 +373,51 @@ def _pair_mask_u32(local):
     )
 
 
+def _use_occ_dot() -> bool:
+    """Opt-in MXU occurrence reduce (AWFM_OCC_DOT=1).
+
+    The TPU-optimized HLO of a digram pair step is dominated by one VPU
+    fusion whose lane reductions convert every u8 popcount byte to s32
+    before reducing (jnp.sum axis=1). This variant routes the two
+    in-window popcount sums through ONE int8 matmul on the MXU
+    ((B, 128) popcount bytes x a (128, 2) block-ones matrix,
+    preferred_element_type=int32) — popcounts are <= 8 so int8 is
+    exact, and the systolic array does the 64-lane reduction for free.
+    Read at trace time; bit-identical.
+    """
+    import os
+
+    return os.environ.get("AWFM_OCC_DOT", "0") == "1"
+
+
+_OCC_DOT_ONES: dict = {}
+
+
+def _occ_dot_ones(width: int):
+    """(2*width, 2) int8 block-ones matrix: column 0 sums the first
+    `width` lanes, column 1 the second `width`."""
+    if width not in _OCC_DOT_ONES:
+        m = np.zeros((2 * width, 2), dtype=np.int8)
+        m[:width, 0] = 1
+        m[width:, 1] = 1
+        _OCC_DOT_ONES[width] = m
+    return _OCC_DOT_ONES[width]
+
+
+def occ_pair_dot(masked_s, masked_e):
+    """(occ_s, occ_e) int32 via one MXU matmul over the concatenated
+    masked match bytes (each (B, W) uint8)."""
+    w = masked_s.shape[1]
+    pc = lax.population_count(jnp.concatenate([masked_s, masked_e], axis=1))
+    occ = lax.dot_general(
+        pc.astype(jnp.int8),
+        jnp.asarray(_occ_dot_ones(w)),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return occ[:, 0], occ[:, 1]
+
+
 def _pair_match(ng: NgramIndex, rows, v):
     """(B, 64) uint8 match bits for word value v over a pair row.
 
@@ -556,16 +601,21 @@ def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
         ms = _pair_milestone_u32(ng, rows32, v)
     else:
         match = _pair_match(ng, rows, v)
-        occ_s = jnp.sum(
-            lax.population_count(match & _pair_mask(local_s)),
-            axis=1,
-            dtype=jnp.int32,
-        )
-        occ_e = jnp.sum(
-            lax.population_count(match & _pair_mask(local_e)),
-            axis=1,
-            dtype=jnp.int32,
-        )
+        if _use_occ_dot():
+            occ_s, occ_e = occ_pair_dot(
+                match & _pair_mask(local_s), match & _pair_mask(local_e)
+            )
+        else:
+            occ_s = jnp.sum(
+                lax.population_count(match & _pair_mask(local_s)),
+                axis=1,
+                dtype=jnp.int32,
+            )
+            occ_e = jnp.sum(
+                lax.population_count(match & _pair_mask(local_e)),
+                axis=1,
+                dtype=jnp.int32,
+            )
         ms = _pair_milestone(ng, rows, v)
     new_start = cn + ms + occ_s.astype(jnp.uint32)
     new_end = cn + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)

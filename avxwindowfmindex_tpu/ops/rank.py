@@ -217,7 +217,37 @@ def _prefix_sum_select(dev, letter_indices):
     return out
 
 
+def _use_occ_dot() -> bool:
+    """Opt-in MXU occurrence reduce (AWFM_OCC_DOT=1) — see
+    ops/ngram.py:_use_occ_dot. Read at trace time; bit-identical."""
+    return os.environ.get("AWFM_OCC_DOT", "0") == "1"
+
+
+_OCC_ONES_VEC: dict = {}
+
+
+def _occ_ones_vec(width: int):
+    if width not in _OCC_ONES_VEC:
+        _OCC_ONES_VEC[width] = np.ones((width,), dtype=np.int8)
+    return _OCC_ONES_VEC[width]
+
+
+def _occ_dot_single(masked):
+    """(B,) int32 popcount sum via an MXU int8 matvec (popcounts <= 8)."""
+    pc = lax.population_count(masked)
+    return lax.dot_general(
+        pc.astype(jnp.int8),
+        jnp.asarray(_occ_ones_vec(masked.shape[1])),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def _count_rows(dev, rows, local, letter_indices):
+    if _use_occ_dot():
+        match = _match_bytes(dev, rows, letter_indices)
+        cnt = _occ_dot_single(match & _inclusive_mask(local))
+        return _milestone(dev, rows, letter_indices) + cnt.astype(jnp.uint32)
     if _use_u32_lanes():
         ms_lane = dev.milestone_offset // 4
         rows32 = _rows32_view(rows, ms_lane + dev.cardinality + 1)
@@ -380,16 +410,24 @@ def backward_step_pair(dev, start, end, letter_indices, bad, active=None):
         ms = _milestone_words(dev, rows32, letter_indices, ms_lane)
     else:
         match = _match_bytes_pair(dev, rows, letter_indices)
-        occ_s = jnp.sum(
-            lax.population_count(match & _inclusive_mask_pair(local_s)),
-            axis=1,
-            dtype=jnp.int32,
-        )
-        occ_e = jnp.sum(
-            lax.population_count(match & _inclusive_mask_pair(local_e)),
-            axis=1,
-            dtype=jnp.int32,
-        )
+        if _use_occ_dot():
+            from .ngram import occ_pair_dot
+
+            occ_s, occ_e = occ_pair_dot(
+                match & _inclusive_mask_pair(local_s),
+                match & _inclusive_mask_pair(local_e),
+            )
+        else:
+            occ_s = jnp.sum(
+                lax.population_count(match & _inclusive_mask_pair(local_s)),
+                axis=1,
+                dtype=jnp.int32,
+            )
+            occ_e = jnp.sum(
+                lax.population_count(match & _inclusive_mask_pair(local_e)),
+                axis=1,
+                dtype=jnp.int32,
+            )
         ms = _milestone_pair(dev, rows, letter_indices)
     new_start = c + ms + occ_s.astype(jnp.uint32)
     new_end = c + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)

@@ -190,7 +190,7 @@ def test_letter_counts_before_chunked(rng, monkeypatch):
             assert out[x, i] == int((bwt[:b] == x).sum()), (x, b)
 
 
-@pytest.mark.parametrize("knob", ["AWFM_NGRAM_U32", "AWFM_MS_WSUM"])
+@pytest.mark.parametrize("knob", ["AWFM_NGRAM_U32", "AWFM_MS_WSUM", "AWFM_OCC_DOT"])
 def test_u32_lane_path_identical(rng, monkeypatch, knob):
     """Alternate kernel formulations must be bit-identical to the
     byte-lane default for both step formulations: AWFM_NGRAM_U32

@@ -40,7 +40,7 @@ def test_occurrence_matches_cumulative_counts(rng, alphabet):
         np.testing.assert_array_equal(got, want, err_msg=f"letter {lett}")
 
 
-@pytest.mark.parametrize("knob", ["AWFM_RANK_U32", "AWFM_MS_WSUM"])
+@pytest.mark.parametrize("knob", ["AWFM_RANK_U32", "AWFM_MS_WSUM", "AWFM_OCC_DOT"])
 @pytest.mark.parametrize("alphabet", [AlphabetType.DNA, AlphabetType.AMINO])
 def test_u32_lane_rank_identical(rng, alphabet, monkeypatch, knob):
     """Alternate single-letter kernel formulations must be bit-identical
