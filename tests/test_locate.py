@@ -154,6 +154,40 @@ def test_backtrace_truncation_net(rng, use_bt):
     assert (np.asarray(off) == int(np.asarray(want_off[0]))).all()
 
 
+@pytest.mark.parametrize(
+    "sched",
+    [
+        {"AWFM_BT_SLACK": "0", "AWFM_BT_LEVEL_SEG": "1"},
+        {"AWFM_BT_FIRST_SEG": "1", "AWFM_BT_SLACK": "2"},
+        {"AWFM_BT_LEVEL_SEG": "32", "AWFM_BT_COMPACT": "nonzero"},
+        {"AWFM_BT_MIN_LEVEL": "64", "AWFM_BT_COMPACT": "cumsum"},
+        {"AWFM_BT_MIN_LEVEL": "1000000"},  # no levels: pure while_loop
+    ],
+)
+def test_backtrace_schedule_knobs_exact(rng, monkeypatch, sched):
+    """EVERY compaction schedule must produce the exact (p, off) walk —
+    zero-slack and single-step levels force statistical truncation at
+    every level, exercising the exactness net hard."""
+    import jax.numpy as jnp
+
+    import avxwindowfmindex_tpu.search as search_mod
+
+    seq = random_sequence(rng, 4000, AlphabetType.DNA)
+    index = create_index(seq, _cfg(AlphabetType.DNA, ratio=8))
+    dev = index.to_device()
+    positions = jnp.asarray(
+        rng.integers(0, index.bwt_length, size=8192).astype(np.uint32)
+    )
+    want_p, want_off = map(
+        np.asarray, search_mod.backtrace_all(dev, positions)
+    )
+    for k, v in sched.items():
+        monkeypatch.setenv(k, v)
+    got_p, got_off = map(np.asarray, search_mod.backtrace_all(dev, positions))
+    np.testing.assert_array_equal(got_p, want_p)
+    np.testing.assert_array_equal(got_off, want_off)
+
+
 def test_total_hits_exact_past_2_32(rng):
     """total_hits_host must not wrap at 2^32 total hits (u32 cumsum
     wrap-count formulation)."""
