@@ -28,6 +28,7 @@ from .ops.rank64 import DeviceIndex64
 # the module-level import is cycle-free); _flag_count/_flag_indices are
 # batch-shape-generic and shared with the 32-bit pair-fixup path
 from .search import (
+    _bt_schedule,
     _flag_count as _flag_count64,
     _flag_indices as _flag_indices64,
     _fuse_steps,
@@ -350,34 +351,89 @@ def _scatter_back64(p_hi, p_lo, off, idx, s_hi, s_lo, s_off):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _gather_undone_cumsum64(dev, p_hi, p_lo, off, *, m):
+    """Wide counterpart of search._gather_undone_cumsum (padded slots
+    index row 0, matching nonzero's fill_value=0)."""
+    mask = r64.mod_small64(p_hi, p_lo, dev.ratio) != _U0
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    src = jnp.where(mask, pos, m)
+    idx = (
+        jnp.zeros(m, dtype=jnp.int32)
+        .at[src]
+        .set(jnp.arange(p_lo.shape[0], dtype=jnp.int32), mode="drop")
+    )
+    return idx, p_hi[idx], p_lo[idx], off[idx]
+
+
+@jax.jit
+def _backtrace_to_sampled_carry64(dev, p_hi, p_lo, off):
+    """Masked while_loop finisher carrying existing offsets (hi/lo).
+
+    Sync-free; exits after one gather-free cond eval when every row is
+    already sampled — the wide exactness net."""
+
+    def cond(state):
+        ph, pl, _ = state
+        return ~jnp.all(r64.mod_small64(ph, pl, dev.ratio) == _U0)
+
+    def body(state):
+        ph, pl, oo = state
+        done = r64.mod_small64(ph, pl, dev.ratio) == _U0
+        _, lf_hi, lf_lo = r64.letter_and_lf_at64(dev, ph, pl)
+        return (
+            jnp.where(done, ph, lf_hi),
+            jnp.where(done, pl, lf_lo),
+            jnp.where(done, oo, oo + _U1),
+        )
+
+    return jax.lax.while_loop(cond, body, (p_hi, p_lo, off))
+
+
 def backtrace_all64(dev, p_hi, p_lo):
     """Backtrace a device batch to sampled positions -> (p_hi, p_lo, off).
 
-    Host-driven compaction: fixed-trip chunks, then geometrically
-    smaller compacted straggler batches, with one small undone-count
-    readback per level. NOTE: unlike search.backtrace_all (rebuilt
-    sync-free with nested on-device compaction), this capacity-path
-    driver tolerates a few ~30 ms syncs per 64K chunk; adopt the
-    sync-free schedule here if wide locate ever becomes a hot path.
+    SYNC-FREE nested compaction, the hi/lo counterpart of
+    search.backtrace_all (which replaced the round-2 host-synced loop):
+    one first masked pass, statistically-sized compacted levels walked
+    deeper, a masked while_loop for the straggler tail, scatters back
+    innermost-first, and a final full-batch while_loop net that makes
+    EVERY schedule exact. Shares the AWFM_BT_* schedule knobs
+    (search._bt_schedule).
     """
-    n_steps = min(64, max(4, 2 * dev.ratio))
+    b = p_lo.shape[0]
+    first_seg, level_seg, slack, min_level, _ = _bt_schedule(dev.ratio)
+    import os
+
+    gather64 = (
+        _gather_undone64
+        if os.environ.get("AWFM_BT_COMPACT") == "nonzero"
+        else _gather_undone_cumsum64
+    )
     off = jnp.zeros_like(p_lo)
-    p_hi, p_lo, off = _backtrace_steps_fused64(dev, p_hi, p_lo, off, seg=n_steps)
-    while True:
-        cnt = int(_undone_count64(dev, p_hi, p_lo))
-        if cnt == 0:
-            return p_hi, p_lo, off
-        m = _round_up_pow2(cnt, floor=256)
-        if m >= p_lo.shape[0]:
-            p_hi, p_lo, off = _backtrace_steps_fused64(
-                dev, p_hi, p_lo, off, seg=n_steps
-            )
-            continue
-        idx, s_hi, s_lo, s_off = _gather_undone64(dev, p_hi, p_lo, off, m=m)
+    p_hi, p_lo, off = _backtrace_steps_fused64(
+        dev, p_hi, p_lo, off, seg=first_seg
+    )
+    surv_first = (1.0 - 1.0 / dev.ratio) ** first_seg
+    surv_level = (1.0 - 1.0 / dev.ratio) ** level_seg
+    levels = []
+    cur = (p_hi, p_lo, off)
+    m = _round_up(int(b * surv_first * (100 + slack) / 100), 256)
+    while m >= min_level and m < cur[1].shape[0]:
+        idx, s_hi, s_lo, s_off = gather64(dev, *cur, m=m)
         s_hi, s_lo, s_off = _backtrace_steps_fused64(
-            dev, s_hi, s_lo, s_off, seg=n_steps
+            dev, s_hi, s_lo, s_off, seg=level_seg
         )
-        p_hi, p_lo, off = _scatter_back64(p_hi, p_lo, off, idx, s_hi, s_lo, s_off)
+        levels.append((idx, cur))
+        cur = (s_hi, s_lo, s_off)
+        m = _round_up(int(m * surv_level * (100 + slack) / 100), 256)
+    cur = _backtrace_to_sampled_carry64(dev, *cur)
+    for idx, parent in reversed(levels):
+        cur = _scatter_back64(*parent, idx, *cur)
+    if levels:
+        # exactness net for statistical truncation; ~free when unneeded
+        cur = _backtrace_to_sampled_carry64(dev, *cur)
+    return cur
 
 
 @jax.jit

@@ -149,6 +149,46 @@ def _synthetic_wide_dev(letters_blocks: np.ndarray, base: int,
     )
 
 
+@pytest.mark.parametrize(
+    "sched",
+    [
+        {},
+        {"AWFM_BT_SLACK": "0", "AWFM_BT_LEVEL_SEG": "1"},
+        {"AWFM_BT_MIN_LEVEL": "64", "AWFM_BT_COMPACT": "nonzero"},
+        {"AWFM_BT_MIN_LEVEL": "1000000"},  # no levels: pure while_loop
+    ],
+)
+def test_wide_backtrace_schedules_match_narrow(rng, monkeypatch, sched):
+    """The sync-free wide backtrace must walk exactly like the narrow
+    one on the same index, under every compaction schedule (the
+    zero-slack single-step setting forces truncation at every level,
+    exercising the wide exactness net)."""
+    from avxwindowfmindex_tpu import search as search_mod
+
+    seq = random_sequence(rng, 4000, AlphabetType.DNA)
+    index = create_index(seq, _cfg(ratio=8))
+    dev = index.to_device()
+    dev64 = index.to_device(refresh=True, wide=True)
+    positions = rng.integers(0, index.bwt_length, size=4096).astype(np.uint32)
+    want_p, want_off = map(
+        np.asarray,
+        search_mod.backtrace_all(dev, jnp.asarray(positions)),
+    )
+    for k, v in sched.items():
+        monkeypatch.setenv(k, v)
+    got_hi, got_lo, got_off = map(
+        np.asarray,
+        search64.backtrace_all64(
+            dev64,
+            jnp.zeros(len(positions), dtype=jnp.uint32),
+            jnp.asarray(positions),
+        ),
+    )
+    assert not got_hi.any()
+    np.testing.assert_array_equal(got_lo, want_p)
+    np.testing.assert_array_equal(got_off, want_off)
+
+
 def test_wsum_milestone64_identical(rng, monkeypatch):
     """AWFM_MS_WSUM=1 (weighted-byte-sum milestone halves) must match
     the bitcast one-hot path bit-for-bit on a table whose milestones
