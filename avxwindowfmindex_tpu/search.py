@@ -784,16 +784,19 @@ def enumerate_range_positions(start, end, *, capacity):
         jnp.uint32(capacity),
     ).astype(jnp.int32)
     seg_off = jnp.cumsum(counts) - counts  # exclusive prefix sum
-    base = jnp.repeat(start, counts, total_repeat_length=capacity)
-    off0 = jnp.repeat(
-        seg_off.astype(jnp.uint32), counts, total_repeat_length=capacity
-    )
+    # ONE repeat materializes the query ids; the per-hit range start and
+    # segment offset are then (capacity,) gathers through qid — measured
+    # cheaper than three independent repeats of the same segment shape
     qid = jnp.repeat(
         jnp.arange(b, dtype=jnp.int32), counts, total_repeat_length=capacity
     )
     iota = jnp.arange(capacity, dtype=jnp.uint32)
     mask = iota < jnp.sum(counts, dtype=jnp.int32).astype(jnp.uint32)
-    pos = jnp.where(mask, base + (iota - off0), jnp.uint32(0))
+    pos = jnp.where(
+        mask,
+        start[qid] + (iota - seg_off.astype(jnp.uint32)[qid]),
+        jnp.uint32(0),
+    )
     return pos, jnp.where(mask, qid, jnp.int32(0)), mask
 
 
