@@ -115,7 +115,21 @@ RUNS = int(os.environ.get("AWFM_BENCH_RUNS", 5))
 # multi-hit locate stage (the reference's real locate workload is
 # multi-hit, AwFmParallelSearch.c:315-365): short kmers -> many hits
 # per query. 11-mers over 64M random bases average ~16 hits each.
-MULTIHIT_KMER_LEN = int(os.environ.get("AWFM_BENCH_MULTIHIT_KMER_LEN", 11))
+def _default_multihit_kmer_len() -> int:
+    """Multi-hit kmer length scaled to the corpus: target ~16 expected
+    hits/query (bases / 4^len ~ 16), floor 11. At 64M bases this is the
+    round-2 protocol value 11; at hg38 scale it is 14 — a fixed 11
+    would enumerate ~740 hits/query and OOM the 97M-position backtrace
+    on top of the ~8 GB of genome-scale tables (measured: 25.1 GB HBM
+    ask on v5e)."""
+    import math
+
+    return max(11, math.ceil(math.log(NUM_BASES / 16, 4)))
+
+
+MULTIHIT_KMER_LEN = int(
+    os.environ.get("AWFM_BENCH_MULTIHIT_KMER_LEN", 0)
+) or None  # resolved after NUM_BASES below
 MULTIHIT_QUERIES = int(os.environ.get("AWFM_BENCH_MULTIHIT_QUERIES", 1 << 17))
 
 
@@ -480,7 +494,7 @@ def main():
     # MANY positions per query (AwFmParallelSearch.c:315-365); random
     # 25-mers are ~all unique, so this stage uses short kmers to stress
     # capacity sizing, enumeration and qid grouping at million-hit scale.
-    mh_len = MULTIHIT_KMER_LEN
+    mh_len = MULTIHIT_KMER_LEN or _default_multihit_kmer_len()
     mh_q = MULTIHIT_QUERIES
     mh_starts = rng.integers(0, NUM_BASES - mh_len, size=mh_q)
     windows_mh = np.lib.stride_tricks.sliding_window_view(seq_arr, mh_len)
