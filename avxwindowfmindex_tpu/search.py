@@ -26,6 +26,7 @@ Pipeline (mirrors §3.2 of SURVEY.md):
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence, Union
 
 import jax
@@ -755,7 +756,6 @@ def total_hits_host(start, end) -> int:
     return (int(hi_lo[0]) << 32) + int(hi_lo[1])
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
 def enumerate_range_positions(start, end, *, capacity):
     """Flatten BWT ranges into per-hit positions, ON DEVICE.
 
@@ -772,6 +772,12 @@ def enumerate_range_positions(start, end, *, capacity):
     identical content and order to the reference's per-query
     positionList, keyed by query_ids.
     """
+    scatter = os.environ.get("AWFM_ENUM_SCATTER", "0") == "1"
+    return _enumerate_impl(start, end, capacity=capacity, scatter=scatter)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "scatter"))
+def _enumerate_impl(start, end, *, capacity, scatter):
     assert capacity < 2**31, "capacity must fit int32 repeat lengths"
     b = start.shape[0]
     valid = start <= end
@@ -784,12 +790,26 @@ def enumerate_range_positions(start, end, *, capacity):
         jnp.uint32(capacity),
     ).astype(jnp.int32)
     seg_off = jnp.cumsum(counts) - counts  # exclusive prefix sum
-    # ONE repeat materializes the query ids; the per-hit range start and
-    # segment offset are then (capacity,) gathers through qid — measured
-    # cheaper than three independent repeats of the same segment shape
-    qid = jnp.repeat(
-        jnp.arange(b, dtype=jnp.int32), counts, total_repeat_length=capacity
-    )
+    if scatter:
+        # scatter-marks + cumsum: add one mark per query at its segment
+        # start (zero-count queries stack on the next start — the
+        # cumsum then skips their ids in one step), so qid needs no
+        # repeat/searchsorted machinery. Bit-identical to the repeat
+        # form (tests/test_locate.py::test_enumerate_formulations).
+        marks = (
+            jnp.zeros(capacity, dtype=jnp.int32)
+            .at[seg_off]
+            .add(1, mode="drop")
+        )
+        qid = jnp.cumsum(marks) - 1
+    else:
+        # ONE repeat materializes the query ids; the per-hit range
+        # start and segment offset are then (capacity,) gathers through
+        # qid — cheaper than three independent repeats
+        qid = jnp.repeat(
+            jnp.arange(b, dtype=jnp.int32), counts,
+            total_repeat_length=capacity,
+        )
     iota = jnp.arange(capacity, dtype=jnp.uint32)
     mask = iota < jnp.sum(counts, dtype=jnp.int32).astype(jnp.uint32)
     pos = jnp.where(

@@ -122,8 +122,23 @@ def main():
         hits = _resolve_samples(dev, p, off)
         return fold(jnp.where(mask, hits, jnp.uint32(0)), pend)
 
+    def e1s_fn():
+        os.environ["AWFM_ENUM_SCATTER"] = "1"
+        try:
+            return e1_fn()
+        finally:
+            os.environ.pop("AWFM_ENUM_SCATTER", None)
+
+    def e3s_fn():
+        os.environ["AWFM_ENUM_SCATTER"] = "1"
+        try:
+            return e3_fn()
+        finally:
+            os.environ.pop("AWFM_ENUM_SCATTER", None)
+
     out = {"exp": "locate_all_decomposition", "batch": Q, "capacity": cap}
-    for name, fn in (("E0", e0_fn), ("E1", e1_fn), ("E2", e2_fn), ("E3", e3_fn)):
+    for name, fn in (("E0", e0_fn), ("E1", e1_fn), ("E1s", e1s_fn),
+                     ("E2", e2_fn), ("E3", e3_fn), ("E3s", e3s_fn)):
         fn()
         times = []
         for _ in range(REPS):

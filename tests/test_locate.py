@@ -188,6 +188,32 @@ def test_backtrace_schedule_knobs_exact(rng, monkeypatch, sched):
     np.testing.assert_array_equal(got_off, want_off)
 
 
+def test_enumerate_formulations_identical(rng, monkeypatch):
+    """The scatter-marks enumerate (AWFM_ENUM_SCATTER=1) must equal the
+    repeat form bit-for-bit, including zero-count queries stacked at
+    shared segment starts, invalid ranges, and the padded tail."""
+    import jax.numpy as jnp
+
+    from avxwindowfmindex_tpu.search import enumerate_range_positions
+
+    b = 512
+    start = rng.integers(0, 10_000, size=b).astype(np.uint32)
+    width = rng.integers(0, 12, size=b).astype(np.uint32)
+    width[rng.random(b) < 0.4] = 0  # many single/empty
+    end = start + width - np.uint32(rng.random(b) < 0.3)  # some invalid
+    cap = int(((start <= end) * (end - start + 1)).sum() + 64)
+
+    args = (jnp.asarray(start), jnp.asarray(end))
+    monkeypatch.setenv("AWFM_ENUM_SCATTER", "0")
+    base = [np.asarray(x) for x in
+            enumerate_range_positions(*args, capacity=cap)]
+    monkeypatch.setenv("AWFM_ENUM_SCATTER", "1")
+    got = [np.asarray(x) for x in
+           enumerate_range_positions(*args, capacity=cap)]
+    for a, g in zip(base, got):
+        np.testing.assert_array_equal(a, g)
+
+
 def test_total_hits_exact_past_2_32(rng):
     """total_hits_host must not wrap at 2^32 total hits (u32 cumsum
     wrap-count formulation)."""
