@@ -304,17 +304,10 @@ _PAIR_IOTA32 = np.arange(16, dtype=np.int32)
 
 
 def _use_u32_lanes() -> bool:
-    """Opt-in u32-lane match/mask/popcount (AWFM_NGRAM_U32=1).
+    """u32-lane kernels (recorded dead end) — see ops/_knobs.py."""
+    from . import _knobs
 
-    Rows stay uint8 in HBM; the kernel bitcasts the gathered plane
-    bytes to u32 lanes so the XOR/OR/AND/popcount network works on 4
-    bytes per VPU op. Read at trace time (the step programs are jitted
-    per engine); results are bit-identical either way
-    (tests/test_ngram.py::test_u32_lane_path_identical).
-    """
-    import os
-
-    return os.environ.get("AWFM_NGRAM_U32", "0") == "1"
+    return _knobs.use_u32_lanes("AWFM_NGRAM_U32")
 
 
 def _pair_rows32(ng: NgramIndex, rows):
@@ -374,20 +367,10 @@ def _pair_mask_u32(local):
 
 
 def _use_occ_dot() -> bool:
-    """Opt-in MXU occurrence reduce (AWFM_OCC_DOT=1).
+    """MXU occurrence reduce (recorded dead end) — see ops/_knobs.py."""
+    from . import _knobs
 
-    The TPU-optimized HLO of a digram pair step is dominated by one VPU
-    fusion whose lane reductions convert every u8 popcount byte to s32
-    before reducing (jnp.sum axis=1). This variant routes the two
-    in-window popcount sums through ONE int8 matmul on the MXU
-    ((B, 128) popcount bytes x a (128, 2) block-ones matrix,
-    preferred_element_type=int32) — popcounts are <= 8 so int8 is
-    exact, and the systolic array does the 64-lane reduction for free.
-    Read at trace time; bit-identical.
-    """
-    import os
-
-    return os.environ.get("AWFM_OCC_DOT", "0") == "1"
+    return _knobs.use_occ_dot()
 
 
 _OCC_DOT_ONES: dict = {}
@@ -450,22 +433,11 @@ def _pair_mask(local):
 
 
 def _use_ms_wsum() -> bool:
-    """Weighted-byte-sum milestone select — DEFAULT ON (AWFM_MS_WSUM=0
-    opts back into the bitcast one-hot form).
+    """Weighted-byte-sum milestone select, default ON — see
+    ops/_knobs.py for rationale and measurements."""
+    from . import _knobs
 
-    Replaces the u8->u32 `bitcast_convert_type` + per-word column
-    selects (the +3.5 ms/step term in ab_r3_stepdecomp) with a fully
-    fusable elementwise form: widen the milestone bytes to u32,
-    multiply by the little-endian byte weight (1, 2^8, 2^16, 2^24) and
-    a word-select mask, and reduce-sum. The u32 accumulation wraps mod
-    2^32, which is exact for a stored u32. Read at trace time;
-    bit-identical (tests/test_ngram.py::test_u32_lane_path_identical).
-    Measured on v5e (ab_r3_mswsum_results.txt): digram count +20%,
-    locate_first +6% over the bitcast form.
-    """
-    import os
-
-    return os.environ.get("AWFM_MS_WSUM", "1") == "1"
+    return _knobs.use_ms_wsum()
 
 
 _WSUM_CONSTS: dict = {}
@@ -587,7 +559,15 @@ def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
     local_e = jnp.minimum(delta_e, jnp.uint32(511)).astype(jnp.int32)
 
     rows = ng.packed[base]
-    if _use_u32_lanes():
+    # knob precedence (consistent with rank.py): AWFM_OCC_DOT first,
+    # then AWFM_NGRAM_U32, else the byte-lane default
+    if _use_occ_dot():
+        match = _pair_match(ng, rows, v)
+        occ_s, occ_e = occ_pair_dot(
+            match & _pair_mask(local_s), match & _pair_mask(local_e)
+        )
+        ms = _pair_milestone(ng, rows, v)
+    elif _use_u32_lanes():
         rows32 = _pair_rows32(ng, rows)
         match = _pair_match_u32(ng, rows32, v)
         occ_s = jnp.sum(
@@ -601,21 +581,16 @@ def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
         ms = _pair_milestone_u32(ng, rows32, v)
     else:
         match = _pair_match(ng, rows, v)
-        if _use_occ_dot():
-            occ_s, occ_e = occ_pair_dot(
-                match & _pair_mask(local_s), match & _pair_mask(local_e)
-            )
-        else:
-            occ_s = jnp.sum(
-                lax.population_count(match & _pair_mask(local_s)),
-                axis=1,
-                dtype=jnp.int32,
-            )
-            occ_e = jnp.sum(
-                lax.population_count(match & _pair_mask(local_e)),
-                axis=1,
-                dtype=jnp.int32,
-            )
+        occ_s = jnp.sum(
+            lax.population_count(match & _pair_mask(local_s)),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        occ_e = jnp.sum(
+            lax.population_count(match & _pair_mask(local_e)),
+            axis=1,
+            dtype=jnp.int32,
+        )
         ms = _pair_milestone(ng, rows, v)
     new_start = cn + ms + occ_s.astype(jnp.uint32)
     new_end = cn + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)

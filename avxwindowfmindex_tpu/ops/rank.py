@@ -46,14 +46,10 @@ import os
 
 
 def _use_u32_lanes() -> bool:
-    """Opt-in u32-lane match/mask/popcount for the single-letter rank
-    kernels (AWFM_RANK_U32=1): rows stay uint8 in HBM; the kernel
-    bitcasts each gathered row to u32 lanes ONCE, so the XOR/OR/AND/
-    popcount network works on 4 bytes per VPU op and the milestone
-    select reads the same u32 view (the separate u8->u32 milestone
-    bitcast measured +3.5 ms/1M-row step: ab_r3_stepdecomp). Read at
-    trace time; bit-identical results (tests/test_occurrence.py)."""
-    return os.environ.get("AWFM_RANK_U32", "0") == "1"
+    """u32-lane kernels (recorded dead end) — see ops/_knobs.py."""
+    from . import _knobs
+
+    return _knobs.use_u32_lanes("AWFM_RANK_U32")
 
 
 def _rows32_view(rows, n_lanes):
@@ -176,11 +172,11 @@ def _milestones_u32(dev, rows):
 
 
 def _use_ms_wsum() -> bool:
-    """Weighted-byte-sum milestone select — DEFAULT ON; see
-    ops/ngram.py:_use_ms_wsum for rationale and measurements. Read at
-    trace time; bit-identical
-    (tests/test_occurrence.py::test_u32_lane_rank_identical)."""
-    return os.environ.get("AWFM_MS_WSUM", "1") == "1"
+    """Weighted-byte-sum milestone select, default ON — see
+    ops/_knobs.py."""
+    from . import _knobs
+
+    return _knobs.use_ms_wsum()
 
 
 def _milestone_wsum(section, letter_indices, n_words):
@@ -218,9 +214,10 @@ def _prefix_sum_select(dev, letter_indices):
 
 
 def _use_occ_dot() -> bool:
-    """Opt-in MXU occurrence reduce (AWFM_OCC_DOT=1) — see
-    ops/ngram.py:_use_occ_dot. Read at trace time; bit-identical."""
-    return os.environ.get("AWFM_OCC_DOT", "0") == "1"
+    """MXU occurrence reduce (recorded dead end) — see ops/_knobs.py."""
+    from . import _knobs
+
+    return _knobs.use_occ_dot()
 
 
 _OCC_ONES_VEC: dict = {}
@@ -391,7 +388,19 @@ def backward_step_pair(dev, start, end, letter_indices, bad, active=None):
     local_e = jnp.minimum(delta_e, jnp.uint32(511)).astype(jnp.int32)
 
     rows = dev.packed_pair[base]
-    if _use_u32_lanes():
+    # knob precedence (consistent with _count_rows): AWFM_OCC_DOT
+    # first, then AWFM_RANK_U32, else the byte-lane default — so a
+    # both-knobs-set sweep is unambiguous
+    if _use_occ_dot():
+        from .ngram import occ_pair_dot
+
+        match = _match_bytes_pair(dev, rows, letter_indices)
+        occ_s, occ_e = occ_pair_dot(
+            match & _inclusive_mask_pair(local_s),
+            match & _inclusive_mask_pair(local_e),
+        )
+        ms = _milestone_pair(dev, rows, letter_indices)
+    elif _use_u32_lanes():
         ms_lane = dev.n_planes * 16
         rows32 = _rows32_view(rows, ms_lane + dev.cardinality + 1)
         match = _match_words(dev, rows32, letter_indices, 16)
@@ -410,24 +419,16 @@ def backward_step_pair(dev, start, end, letter_indices, bad, active=None):
         ms = _milestone_words(dev, rows32, letter_indices, ms_lane)
     else:
         match = _match_bytes_pair(dev, rows, letter_indices)
-        if _use_occ_dot():
-            from .ngram import occ_pair_dot
-
-            occ_s, occ_e = occ_pair_dot(
-                match & _inclusive_mask_pair(local_s),
-                match & _inclusive_mask_pair(local_e),
-            )
-        else:
-            occ_s = jnp.sum(
-                lax.population_count(match & _inclusive_mask_pair(local_s)),
-                axis=1,
-                dtype=jnp.int32,
-            )
-            occ_e = jnp.sum(
-                lax.population_count(match & _inclusive_mask_pair(local_e)),
-                axis=1,
-                dtype=jnp.int32,
-            )
+        occ_s = jnp.sum(
+            lax.population_count(match & _inclusive_mask_pair(local_s)),
+            axis=1,
+            dtype=jnp.int32,
+        )
+        occ_e = jnp.sum(
+            lax.population_count(match & _inclusive_mask_pair(local_e)),
+            axis=1,
+            dtype=jnp.int32,
+        )
         ms = _milestone_pair(dev, rows, letter_indices)
     new_start = c + ms + occ_s.astype(jnp.uint32)
     new_end = c + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)

@@ -337,13 +337,12 @@ def _wsum64_consts(n_words: int):
 
 
 def _use_ms_wsum() -> bool:
-    """Same knob as ops/rank.py / ops/ngram.py — DEFAULT ON: select
-    milestones by weighted byte sums instead of bitcast + per-word
-    column selects. Bit-identical
-    (tests/test_index64.py::test_wsum_milestone64_identical)."""
-    import os
+    """Weighted-byte-sum milestone select, default ON — see
+    ops/_knobs.py; hi/lo split parity:
+    tests/test_index64.py::test_wsum_milestone64_identical."""
+    from . import _knobs
 
-    return os.environ.get("AWFM_MS_WSUM", "1") == "1"
+    return _knobs.use_ms_wsum()
 
 
 def _milestone64(dev, rows, letter_indices):

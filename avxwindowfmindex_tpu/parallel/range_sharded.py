@@ -604,15 +604,17 @@ class RangeShardedSearchEngine(SearchEngine):
     def resolve_positions(self, bwt_positions: np.ndarray) -> np.ndarray:
         """LF-backtrace + sampled-SA resolve with every rank a collective.
 
-        Schedule: the same host-driven compaction as the wide engine's
-        driver (search64.backtrace_all64) — one fixed-trip masked
-        segment over the full batch, then geometrically smaller
-        compacted straggler batches, with one small undone-count
-        readback per level (unlike search.backtrace_all, which is fully
-        sync-free; this capacity mode tolerates a few ~30 ms syncs). Compaction is safe here because the POSITION
-        batch is replicated (P()) across the mesh; only the block/SA
-        tables are sharded, and each rank lookup resolves ownership from
-        the position value itself. This caps the collective cost at
+        Schedule: host-driven compaction local to this engine — one
+        fixed-trip masked segment over the full batch, then
+        geometrically smaller compacted straggler batches, with one
+        small undone-count readback per level. (search.backtrace_all
+        and search64.backtrace_all64 are both fully sync-free nested
+        compaction; this capacity mode keeps the simpler synced loop
+        because every segment is a psum collective and the mode is not
+        a locate-throughput path.) Compaction is safe here because the
+        POSITION batch is replicated (P()) across the mesh; only the
+        block/SA tables are sharded, and each rank lookup resolves
+        ownership from the position value itself. This caps the collective cost at
         ~2*ratio full-batch psum steps plus a few segments over shrunken
         batches, instead of the ~ratio*ln(B) full-batch while_loop
         iterations of the naive formulation. This mode still exists for

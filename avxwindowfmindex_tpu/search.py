@@ -555,8 +555,10 @@ def _gather_undone(dev, p, off, *, m):
 @functools.partial(jax.jit, static_argnames=("m",))
 def _gather_undone_cumsum(dev, p, off, *, m):
     """Same contract as _gather_undone via cumsum + drop-mode scatter
-    (padded slots index row 0, like nonzero's fill_value=0) — a probe
-    for whether XLA's sized-nonzero is the compaction bottleneck."""
+    (padded slots index row 0, like nonzero's fill_value=0). This is
+    the production DEFAULT compaction — measured cheaper than XLA's
+    sized nonzero at every level size (ab_r3_btsched2); AWFM_BT_COMPACT
+    =nonzero opts back."""
     mask = (p % jnp.uint32(dev.ratio)) != 0
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     src = jnp.where(mask, pos, m)  # done rows scatter out of bounds
@@ -590,19 +592,20 @@ def _bt_schedule(ratio: int):
       AWFM_BT_MIN_LEVEL  smallest compaction level; below this the
                          stragglers finish in a masked while_loop
                          (default 4096)
-    """
-    import os
 
+    Returns (first_seg, level_seg, slack, min_level, compact_mode);
+    compact_mode is the string name so the narrow AND wide drivers map
+    it to their own gather implementations without re-parsing the env.
+    """
     first_seg = int(os.environ.get("AWFM_BT_FIRST_SEG", "0")) or ratio
     level_seg = int(os.environ.get("AWFM_BT_LEVEL_SEG", "0")) or 2 * ratio
     slack = int(os.environ.get("AWFM_BT_SLACK", "8"))
     min_level = int(os.environ.get("AWFM_BT_MIN_LEVEL", "4096"))
-    gather = (
-        _gather_undone
-        if os.environ.get("AWFM_BT_COMPACT") == "nonzero"
-        else _gather_undone_cumsum
+    compact_mode = (
+        "nonzero" if os.environ.get("AWFM_BT_COMPACT") == "nonzero"
+        else "cumsum"
     )
-    return first_seg, level_seg, slack, min_level, gather
+    return first_seg, level_seg, slack, min_level, compact_mode
 
 
 @jax.jit
@@ -680,8 +683,11 @@ def backtrace_all(dev, positions, bt=None):
         # every BWT position is sampled: nothing to walk
         return positions, jnp.zeros_like(positions)
     b = positions.shape[0]
-    first_seg, level_seg, slack, min_level, gather_undone = _bt_schedule(
+    first_seg, level_seg, slack, min_level, compact_mode = _bt_schedule(
         dev.ratio
+    )
+    gather_undone = (
+        _gather_undone if compact_mode == "nonzero" else _gather_undone_cumsum
     )
     zeros = jnp.zeros_like(positions)
     p, off = _backtrace_steps_any(dev, positions, zeros, first_seg, bt)

@@ -402,12 +402,12 @@ def backtrace_all64(dev, p_hi, p_lo):
     (search._bt_schedule).
     """
     b = p_lo.shape[0]
-    first_seg, level_seg, slack, min_level, _ = _bt_schedule(dev.ratio)
-    import os
-
+    first_seg, level_seg, slack, min_level, compact_mode = _bt_schedule(
+        dev.ratio
+    )
     gather64 = (
         _gather_undone64
-        if os.environ.get("AWFM_BT_COMPACT") == "nonzero"
+        if compact_mode == "nonzero"
         else _gather_undone_cumsum64
     )
     off = jnp.zeros_like(p_lo)
