@@ -23,18 +23,38 @@ from ..search import SearchEngine
 logger = logging.getLogger("avxwindowfmindex_tpu.reliability")
 
 
+#: Exception classes that indicate a deterministic caller error — a bad
+#: kmer, a wrong type, a misuse of the API. Retrying these is pure waste
+#: (and the backoff + index reload makes a bad input *minutes* slow), so
+#: they fail fast. This mirrors the reference's split between fatal codes
+#: and the retry-worthy AwFmFileReadFail (AwFmParallelSearch.c:356-359):
+#: only environmental faults (I/O, device/runtime, XLA) are retried.
+NON_RETRYABLE = (ValueError, TypeError, KeyError, IndexError, AssertionError,
+                 NotImplementedError)
+
+
+def is_retryable(err: BaseException) -> bool:
+    """True for environmental faults worth retrying (OSError, RuntimeError,
+    XLA/JAX device errors); False for deterministic input/usage errors."""
+    if isinstance(err, NON_RETRYABLE):
+        return False
+    return isinstance(err, Exception)
+
+
 class RetryPolicy:
     def __init__(
         self,
         max_attempts: int = 3,
         backoff_seconds: float = 0.5,
         reload_index_on_failure: bool = True,
+        retryable: Callable[[BaseException], bool] = is_retryable,
     ):
         if max_attempts < 1:
             raise ValueError("max_attempts must be >= 1")
         self.max_attempts = max_attempts
         self.backoff_seconds = backoff_seconds
         self.reload_index_on_failure = reload_index_on_failure
+        self.retryable = retryable
 
 
 class ReliableSearchEngine:
@@ -80,7 +100,11 @@ class ReliableSearchEngine:
         for attempt in range(policy.max_attempts):
             try:
                 return getattr(self.engine, op_name)(shard)
-            except Exception as err:  # deterministic retry
+            except Exception as err:
+                if not policy.retryable(err):
+                    # deterministic input/usage error: no amount of
+                    # retrying or index reloading changes the outcome
+                    raise
                 last_err = err
                 self.stats["retries"] += 1
                 logger.warning(
