@@ -522,6 +522,86 @@ class FmIndex:
         self._device_cache = dev
         return dev
 
+    def densify_device_sa(self, ratio: int, chunk: int = 1 << 22) -> DeviceIndex:
+        """Rebuild a DENSER device-side suffix array from the loaded one.
+
+        ``create_index(device_sa_ratio=r)`` can only cut a denser SA at
+        build time, when the full SA exists (the reference's equivalent
+        memory-for-speed trade is likewise build-time-only,
+        /root/reference/README.md:207-213). But the device can recover
+        density by itself: every BWT position's SA value is reachable
+        from the stored samples via LF backtrace (AwFmSearch.c:203-223
+        semantics), so this runs the existing sync-free compaction
+        driver over all ceil(n/ratio) target positions — a one-time
+        O(n/ratio * oldRatio/2) LF pass (~half a minute at hg38 scale
+        on a v5e) — and installs the result as the device SA.
+        Locate backtrace chains then shorten to ~ratio/2 steps.
+
+        The new samples live ON DEVICE only (device->host pulls are
+        ~0.3 MB/s through remote-TPU tunnels); the `.awfmi` file and the
+        host model keep the config ratio, so serialization is untouched.
+        Values are bit-identical to a build-time dense SA
+        (tests/test_locate.py).
+
+        Returns the refreshed DeviceIndex (also installed as this
+        index's device cache, so later ``to_device()``/engine
+        constructions see it). Narrow (bwtLength < 2^32) layout only,
+        matching build-time ``device_sa_ratio``. Requires the sampled
+        SA on device (``keep_suffix_array_in_memory`` loads); an
+        on-disk SA cannot seed the pass without per-chain file reads.
+        """
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        if ratio < 1:
+            raise ValueError("ratio must be >= 1")
+        if self.bwt_length >= 2**32:
+            raise NotImplementedError(
+                "densify_device_sa supports the narrow (< 2^32) layout; "
+                "the wide hi/lo path keeps the file's sampling ratio"
+            )
+        dev = self.to_device()
+        if dev.sampled_sa is None:
+            raise ValueError(
+                "densify_device_sa needs the sampled suffix array on "
+                "device (load with keep_suffix_array_in_memory=True)"
+            )
+        if ratio == dev.ratio:
+            return dev
+        from ..search import _resolve_samples, backtrace_all
+
+        new_len = (self.bwt_length + ratio - 1) // ratio
+        n_chunks = (new_len + chunk - 1) // chunk
+        chunk = min(chunk, ((new_len + 255) // 256) * 256)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fill(out, dv, start_idx):
+            # targets start_idx*ratio, (start_idx+1)*ratio, ... — a
+            # contiguous slice of the new sample set, so the chunk
+            # lands with ONE dynamic_update_slice (no scatter)
+            t = (
+                start_idx + jnp.arange(chunk, dtype=jnp.uint32)
+            ) * jnp.uint32(ratio)
+            t = jnp.minimum(t, jnp.uint32(self.bwt_length - 1))
+            p, off = backtrace_all(dv, t)
+            vals = _resolve_samples(dv, p, off)
+            return lax.dynamic_update_slice(
+                out, vals, (start_idx.astype(jnp.int32),)
+            )
+
+        out = jnp.zeros((n_chunks * chunk,), dtype=jnp.uint32)
+        for c in range(n_chunks):
+            out = fill(out, dev, jnp.uint32(c * chunk))
+        dense = dataclasses.replace(
+            dev, sampled_sa=out[:new_len], ratio=int(ratio)
+        )
+        self.device_sa_ratio = int(ratio)
+        self._device_cache = dense
+        return dense
+
     def _to_device_wide(self):
         """Build the 64-bit-capacity device view (ops/rank64.py)."""
         import jax.numpy as jnp

@@ -264,6 +264,74 @@ def test_dense_device_sa_parity(rng, tmp_path):
         np.testing.assert_array_equal(a, b, err_msg=repr(km))
 
 
+def test_densify_on_load_matches_build_time_dense(rng, tmp_path):
+    """densify_device_sa(r) on a FILE-LOADED index must produce the
+    exact device SA a build-time device_sa_ratio=r cut from the full
+    suffix array, and identical locate answers (VERDICT r3 #2;
+    reference analogue: the build-time-only in-memory-SA trade,
+    /root/reference/README.md:207-213)."""
+    from avxwindowfmindex_tpu import read_index_from_file
+
+    seq = random_sequence(rng, 3000, AlphabetType.DNA)
+    cfg = _cfg(AlphabetType.DNA, ratio=8)
+    path = tmp_path / "d.awfmi"
+    built_dense = create_index(seq, cfg, file_src=str(path),
+                               device_sa_ratio=2)
+    want_sa = np.asarray(built_dense.to_device().sampled_sa)
+
+    loaded = read_index_from_file(str(path))
+    assert loaded.to_device().ratio == 8
+    dense_dev = loaded.densify_device_sa(2, chunk=512)  # force chunking
+    assert dense_dev.ratio == 2
+    np.testing.assert_array_equal(
+        np.asarray(dense_dev.sampled_sa), want_sa
+    )
+    # the device cache is refreshed: engines built afterwards see it
+    assert loaded.to_device() is dense_dev
+    e_dense = SearchEngine(loaded)
+    e_plain = SearchEngine(create_index(seq, cfg))
+    kmers = [random_kmer(rng, int(rng.integers(2, 9)), AlphabetType.DNA)
+             for _ in range(60)]
+    np.testing.assert_array_equal(e_dense.count(kmers), e_plain.count(kmers))
+    for km, a, b in zip(kmers, e_dense.locate(kmers), e_plain.locate(kmers)):
+        np.testing.assert_array_equal(a, b, err_msg=repr(km))
+
+
+def test_densify_on_load_ratios_and_validation(rng, tmp_path):
+    from avxwindowfmindex_tpu import read_index_from_file
+
+    seq = random_sequence(rng, 1500, AlphabetType.DNA)
+    cfg = _cfg(AlphabetType.DNA, ratio=8)
+    path = tmp_path / "v.awfmi"
+    create_index(seq, cfg, file_src=str(path))
+
+    # ratio 1: the device SA becomes the full SA (zero-step backtrace)
+    loaded = read_index_from_file(str(path))
+    full = loaded.densify_device_sa(1)
+    want = create_index(seq, cfg, device_sa_ratio=1)
+    np.testing.assert_array_equal(
+        np.asarray(full.sampled_sa),
+        np.asarray(want.to_device().sampled_sa),
+    )
+    # ratio 3 (not dividing 8) is exact too
+    loaded3 = read_index_from_file(str(path))
+    d3 = loaded3.densify_device_sa(3)
+    w3 = create_index(seq, cfg, device_sa_ratio=3)
+    np.testing.assert_array_equal(
+        np.asarray(d3.sampled_sa), np.asarray(w3.to_device().sampled_sa)
+    )
+    # same ratio: no-op returning the existing device view
+    loaded8 = read_index_from_file(str(path))
+    dev8 = loaded8.to_device()
+    assert loaded8.densify_device_sa(8) is dev8
+    with pytest.raises(ValueError, match="ratio"):
+        loaded8.densify_device_sa(0)
+    # SA on disk cannot seed the pass
+    nosa = read_index_from_file(str(path), keep_suffix_array_in_memory=False)
+    with pytest.raises(ValueError, match="sampled suffix array"):
+        nosa.densify_device_sa(2)
+
+
 def test_dense_device_sa_env_and_validation(rng, monkeypatch):
     seq = random_sequence(rng, 500, AlphabetType.DNA)
     cfg = _cfg(AlphabetType.DNA, ratio=4)
