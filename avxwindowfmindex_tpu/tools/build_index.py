@@ -48,6 +48,12 @@ def main(argv=None) -> int:
         "--sa-backend", choices=["native", "numpy"], default=None,
         help="suffix-array construction backend (default: auto)",
     )
+    parser.add_argument(
+        "--auto-size", action="store_true",
+        help="size seed length to the active device's HBM with the "
+        "capacity planner (utils/capacity.py; the input file size is "
+        "the corpus estimate). Overridden by an explicit -k.",
+    )
     args = parser.parse_args(argv)
 
     from ..utils.compile_cache import enable_compile_cache
@@ -67,6 +73,17 @@ def main(argv=None) -> int:
     else:
         alphabet = AlphabetType.RNA if args.rna else AlphabetType.DNA
         default_k = 12
+    if args.auto_size and args.seed_length is None:
+        import os as _os
+
+        from ..utils.capacity import plan_capacity
+
+        plan = plan_capacity(
+            max(1, _os.path.getsize(args.input)), alphabet,
+            sa_ratio=args.ratio,
+        )
+        default_k = plan.seed_k
+        print(f"capacity plan: {plan.summary()}", file=sys.stderr)
     cfg = IndexConfiguration(
         suffix_array_compression_ratio=args.ratio,
         kmer_length_in_seed_table=(

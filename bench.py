@@ -102,15 +102,26 @@ NUM_BASES = int(os.environ.get("AWFM_BENCH_BASES", 64_000_000))
 NUM_QUERIES = int(os.environ.get("AWFM_BENCH_QUERIES", 4_194_304))
 KMER_LEN = int(os.environ.get("AWFM_BENCH_KMER_LEN", 25))
 # Seed k is THE reference tuning knob (/root/reference/README.md:196-202,
-# 268 MB at k=12 on CPU). On TPU the v5e HBM affords k=14 (2.1 GB u32
-# table) at the 64M-base protocol: measured monotone wins over k=12
-# (count +11%, locate_all +4% — experiments/ab_r3_seedk_results.txt),
-# and 25-mer extension becomes 11 letters (5 digram + 1 single). Above
-# ~1G bases the 2.1 GB table crowds genome-scale tables; default to
-# k=13 (536 MB) there.
-SEED_K = int(
-    os.environ.get("AWFM_BENCH_SEED_K", 14 if NUM_BASES <= 2**30 else 13)
-)
+# 268 MB at k=12 on CPU). The capacity planner (utils/capacity.py)
+# sizes it to the active chip's HBM; on v5e it reproduces the measured
+# protocol picks — k=14 (2.1 GB table, monotone wins over k=12:
+# experiments/ab_r3_seedk_results.txt) at the 64M-base protocol, k=13
+# above ~1G bases where the k=14 table crowds genome-scale tables
+# (tests/test_capacity.py pins both).
+
+
+def _planned_seed_k() -> int:
+    try:
+        from avxwindowfmindex_tpu.utils.capacity import plan_capacity
+
+        return plan_capacity(
+            NUM_BASES, batch=NUM_QUERIES, kmer_len=KMER_LEN
+        ).seed_k
+    except Exception:  # planner must never block the bench
+        return 14 if NUM_BASES <= 2**30 else 13
+
+
+SEED_K = int(os.environ.get("AWFM_BENCH_SEED_K", 0)) or _planned_seed_k()
 RUNS = int(os.environ.get("AWFM_BENCH_RUNS", 5))
 # multi-hit locate stage (the reference's real locate workload is
 # multi-hit, AwFmParallelSearch.c:315-365): short kmers -> many hits
