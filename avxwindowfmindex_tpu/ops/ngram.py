@@ -537,6 +537,45 @@ def ngram_backward_step(ng: NgramIndex, start, end, letter_list):
     return jnp.where(keep, new_start, start), jnp.where(keep, new_end, end)
 
 
+def _pair_occ_from_rows(ng: NgramIndex, rows, v, local_s, local_e):
+    """(occ_s, occ_e, ms) from gathered pair rows — the compute stage of
+    the pair step, shared by the mono gather and the slab-routed path
+    (which materializes rows via route.routed_gather and runs this once
+    on the full batch). Knob precedence is consistent with rank.py:
+    AWFM_OCC_DOT first, then AWFM_NGRAM_U32, else the byte-lane
+    default."""
+    if _use_occ_dot():
+        match = _pair_match(ng, rows, v)
+        occ_s, occ_e = occ_pair_dot(
+            match & _pair_mask(local_s), match & _pair_mask(local_e)
+        )
+        return occ_s, occ_e, _pair_milestone(ng, rows, v)
+    if _use_u32_lanes():
+        rows32 = _pair_rows32(ng, rows)
+        match = _pair_match_u32(ng, rows32, v)
+        occ_s = jnp.sum(
+            lax.population_count(match & _pair_mask_u32(local_s)),
+            axis=1, dtype=jnp.int32,
+        )
+        occ_e = jnp.sum(
+            lax.population_count(match & _pair_mask_u32(local_e)),
+            axis=1, dtype=jnp.int32,
+        )
+        return occ_s, occ_e, _pair_milestone_u32(ng, rows32, v)
+    match = _pair_match(ng, rows, v)
+    occ_s = jnp.sum(
+        lax.population_count(match & _pair_mask(local_s)),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    occ_e = jnp.sum(
+        lax.population_count(match & _pair_mask(local_e)),
+        axis=1,
+        dtype=jnp.int32,
+    )
+    return occ_s, occ_e, _pair_milestone(ng, rows, v)
+
+
 def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
     """One-gather n-step; flags ranges wider than the 512-position window.
 
@@ -559,39 +598,7 @@ def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
     local_e = jnp.minimum(delta_e, jnp.uint32(511)).astype(jnp.int32)
 
     rows = ng.packed[base]
-    # knob precedence (consistent with rank.py): AWFM_OCC_DOT first,
-    # then AWFM_NGRAM_U32, else the byte-lane default
-    if _use_occ_dot():
-        match = _pair_match(ng, rows, v)
-        occ_s, occ_e = occ_pair_dot(
-            match & _pair_mask(local_s), match & _pair_mask(local_e)
-        )
-        ms = _pair_milestone(ng, rows, v)
-    elif _use_u32_lanes():
-        rows32 = _pair_rows32(ng, rows)
-        match = _pair_match_u32(ng, rows32, v)
-        occ_s = jnp.sum(
-            lax.population_count(match & _pair_mask_u32(local_s)),
-            axis=1, dtype=jnp.int32,
-        )
-        occ_e = jnp.sum(
-            lax.population_count(match & _pair_mask_u32(local_e)),
-            axis=1, dtype=jnp.int32,
-        )
-        ms = _pair_milestone_u32(ng, rows32, v)
-    else:
-        match = _pair_match(ng, rows, v)
-        occ_s = jnp.sum(
-            lax.population_count(match & _pair_mask(local_s)),
-            axis=1,
-            dtype=jnp.int32,
-        )
-        occ_e = jnp.sum(
-            lax.population_count(match & _pair_mask(local_e)),
-            axis=1,
-            dtype=jnp.int32,
-        )
-        ms = _pair_milestone(ng, rows, v)
+    occ_s, occ_e, ms = _pair_occ_from_rows(ng, rows, v, local_s, local_e)
     new_start = cn + ms + occ_s.astype(jnp.uint32)
     new_end = cn + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)
     keep = start <= end
@@ -601,3 +608,72 @@ def ngram_backward_step_pair(ng: NgramIndex, start, end, letter_list, bad):
         jnp.where(keep, new_end, end),
         bad,
     )
+
+
+def ngram_vbits(n: int) -> int:
+    """Bits of a word value (_word_value is base-4): 4**n codes."""
+    return (4**n - 1).bit_length()
+
+
+def ngram_backward_step_pair_routed(ng: NgramIndex, start, end, bad,
+                                    orig, words_pk, step_idx: int, plan):
+    """ngram_backward_step_pair on PERMUTED state with a slab-routed
+    row gather.
+
+    Inputs arrive in an arbitrary permutation of the batch (``orig``
+    maps each row to its original query id); the step sorts by gather
+    position and RETURNS STATE IN THAT SORTED ORDER — the caller chains
+    steps without unpermuting and restores original order once, after
+    the whole extension loop. ``words_pk`` carries EVERY remaining
+    step's word value packed vbits apiece (this step reads bits
+    [vbits*step_idx, vbits*(step_idx+1))): the letters ride the routing
+    sort instead of being gathered per step through ``orig`` — a (B,)
+    u8 payload gather measured ~35 ms at 4M rows, ~0.7x the entire mono
+    step (ab_r4_routed_kernels R0/R4), while a fourth sort operand is
+    ~free (arity-5 unstable sorts time like arity-1). The first
+    integration restored per step and sorted five payload arrays
+    stably; those sorts ate the whole routed-gather win (mono 50.5 vs
+    routed 38.7 M rows/s).
+
+    Exactness: rows whose slab run overflowed the plan's cap come back
+    covered=False with garbage content; they are OR'd into ``bad`` and
+    re-run exactly by the caller's pair-window fixup, like any
+    512-window overflow. Out-of-range positions (start=0 wraps pos_s)
+    clamp to the last row in both formulations — XLA's gather clamp
+    mono-side, the explicit local clip routed-side — and are masked by
+    ``keep`` identically.
+    """
+    from . import route as route_ops
+
+    vbits = ngram_vbits(ng.n)
+    pos_s = start - jnp.uint32(1)
+    orig_bad = (orig << jnp.uint32(1)) | bad.astype(jnp.uint32)
+    pos_s_s, end_s, wpk_s, ob_s = lax.sort(
+        (pos_s, end, words_pk, orig_bad), num_keys=1, is_stable=False
+    )
+    v_s = (
+        (wpk_s >> jnp.uint32(vbits * step_idx))
+        & jnp.uint32((1 << vbits) - 1)
+    ).astype(jnp.int32)
+    bad_s = (ob_s & jnp.uint32(1)) != 0
+    orig_s = ob_s >> jnp.uint32(1)
+    blk = (pos_s_s >> jnp.uint32(8)).astype(jnp.int32)
+
+    rows, covered = route_ops.routed_gather(ng.packed, blk, plan)
+    local_s = (pos_s_s & jnp.uint32(0xFF)).astype(jnp.int32)
+    delta_e = end_s - (pos_s_s & ~jnp.uint32(0xFF))
+    ovf = delta_e >= jnp.uint32(512)
+    local_e = jnp.minimum(delta_e, jnp.uint32(511)).astype(jnp.int32)
+    occ_s, occ_e, ms = _pair_occ_from_rows(ng, rows, v_s, local_s, local_e)
+    if ng.biased:
+        cn = jnp.uint32(0)  # Cn[w] lives in the stored milestones
+    else:
+        cn = _cn_select(ng, v_s)
+    new_start = cn + ms + occ_s.astype(jnp.uint32)
+    new_end = cn + ms + occ_e.astype(jnp.uint32) - jnp.uint32(1)
+    start_s = pos_s_s + jnp.uint32(1)
+    keep = start_s <= end_s
+    new_bad = bad_s | ((ovf | ~covered) & keep)
+    ns = jnp.where(keep, new_start, start_s)
+    ne = jnp.where(keep, new_end, end_s)
+    return ns, ne, new_bad, orig_s, wpk_s

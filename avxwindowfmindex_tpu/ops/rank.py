@@ -519,6 +519,13 @@ def letter_and_lf_at(dev, positions):
     Returns (letter_indices, lf_positions) — both (B,).
     """
     rows, local = _gather_rows(dev, positions)
+    return letter_and_lf_from_rows(dev, rows, local)
+
+
+def letter_and_lf_from_rows(dev, rows, local):
+    """letter_and_lf_at's compute stage on already-gathered rows — the
+    slab-routed backtrace (ops/route.py) runs this inside its per-slab
+    scan so rows never materialize outside VMEM."""
     lett = letter_at_rows(dev, rows, local)
     is_sentinel = lett == dev.sentinel
     # clamp the sentinel for the selects below; its result is overridden.

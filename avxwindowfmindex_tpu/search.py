@@ -32,6 +32,7 @@ from typing import List, Sequence, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .models import alphabet as alpha
 from .models.config import AlphabetType
@@ -450,6 +451,59 @@ def _backtrace_steps_fused(dev, p, off, *, seg):
     return p, off
 
 
+@functools.partial(jax.jit, static_argnames=("off_bits",))
+def _bt_routed_pack(p, off, *, off_bits):
+    """(p, packed) for the routed backtrace: packed = orig<<off_bits | off.
+
+    The walk offset is bounded by dev.ratio - 1 (SA sampled every ratio
+    positions and off stops advancing once done), so it lives in the low
+    ``off_bits``; the origin index rides the high bits and a single
+    final key-sort on ``packed`` restores the caller's order AND yields
+    off with no extra payload. Guarded by the caller:
+    bits(batch-1) + off_bits <= 32."""
+    orig = jnp.arange(p.shape[0], dtype=jnp.uint32)
+    return p, (orig << jnp.uint32(off_bits)) | off
+
+
+@functools.partial(jax.jit, static_argnames=("off_bits",))
+def _bt_routed_restore(p, packed, *, off_bits):
+    packed, p = lax.sort((packed, p), num_keys=1, is_stable=False)
+    return p, packed & jnp.uint32((1 << off_bits) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("seg", "plan"))
+def _backtrace_steps_fused_routed(dev, p, packed, *, seg, plan):
+    """`seg` masked LF steps with slab-routed row gathers (ops/route.py).
+
+    Positions change every LF step, so each step re-sorts — but ONLY a
+    two-operand key sort (p, packed): the state stays permuted across
+    steps and segments, and `_bt_routed_restore` unpermutes once at the
+    very end (per-step restore sorts measured away the routed win;
+    ngram.ngram_backward_step_pair_routed docstring). Rows whose slab
+    run overflowed the plan's cap simply do not advance this step
+    (covered=False); backtrace_all's exactness net finishes any such
+    stragglers, so results equal _backtrace_steps_fused after restore
+    + net.
+    """
+    from .ops import route as route_ops
+
+    ratio_u = jnp.uint32(dev.ratio)
+    for _ in range(seg):
+        p, packed = lax.sort((p, packed), num_keys=1, is_stable=False)
+        blk = (p // jnp.uint32(rank_ops.POSITIONS_PER_BLOCK)).astype(
+            jnp.int32
+        )
+        rows, covered = route_ops.routed_gather(dev.packed, blk, plan)
+        local = (p % jnp.uint32(rank_ops.POSITIONS_PER_BLOCK)).astype(
+            jnp.int32
+        )
+        _, lf = rank_ops.letter_and_lf_from_rows(dev, rows, local)
+        step = covered & ((p % ratio_u) != 0)
+        p = jnp.where(step, lf, p)
+        packed = jnp.where(step, packed + jnp.uint32(1), packed)
+    return p, packed
+
+
 def _fuse_backtrace() -> int:
     """LF steps fused per dispatched program in the backtrace loop.
 
@@ -505,12 +559,21 @@ def _fuse_backtrace_pair() -> int:
     return max(1, int(os.environ.get("AWFM_FUSE_BACKTRACE_PAIR", "4")))
 
 
-def _backtrace_steps_any(dev, p, off, n_steps, bt=None):
+def _backtrace_steps_any(dev, p, off, n_steps, bt=None, prior_steps=None):
     """n_steps masked LF steps; fused per-dispatch groups on remote TPU.
 
     With a BacktraceDigramIndex (``bt``), executes ceil(n/2) pair steps —
     covering at least n_steps LF steps; overshooting is harmless because
-    done rows never move."""
+    done rows never move.
+
+    ``prior_steps``: static upper bound on the incoming offsets (the
+    schedule's cumulative step count so far). Walk lengths are NOT
+    bounded by ratio — sampling is by BWT position, so a walk ends only
+    when it lands on a multiple of ratio — but off can never exceed the
+    total steps executed, which the sync-free schedule knows statically.
+    The slab-routed formulation packs off into the low bits of its sort
+    payload and therefore requires it; None (unknown caller) disables
+    routing rather than risk the pack overflowing into the origin bits."""
     if bt is not None:
         pair_steps = (n_steps + 1) // 2
         if _use_step_loop():
@@ -526,6 +589,31 @@ def _backtrace_steps_any(dev, p, off, n_steps, bt=None):
         return _backtrace_pair_steps(
             bt, p, off, ratio=dev.ratio, n_steps=pair_steps
         )
+    # slab-routed LF gathers past the big-table wall (ops/route.py);
+    # trace-time decision from the table and (static) batch shapes
+    from .ops import route as route_ops
+
+    plan = route_ops.plan_for(
+        dev.packed.shape[0], dev.packed.shape[1], p.shape[0]
+    )
+    off_bits = (
+        max(1, int(prior_steps + n_steps).bit_length())
+        if prior_steps is not None
+        else 33  # unknown incoming offsets: never pack
+    )
+    if plan is not None and (
+        max(0, p.shape[0] - 1).bit_length() + off_bits <= 32
+    ):
+        fuse = _fuse_backtrace()
+        p, packed = _bt_routed_pack(p, off, off_bits=off_bits)
+        done_steps = 0
+        while done_steps < n_steps:
+            seg = min(fuse, n_steps - done_steps)
+            p, packed = _backtrace_steps_fused_routed(
+                dev, p, packed, seg=seg, plan=plan
+            )
+            done_steps += seg
+        return _bt_routed_restore(p, packed, off_bits=off_bits)
     if _use_step_loop():
         fuse = _fuse_backtrace()
         done_steps = 0
@@ -690,7 +778,9 @@ def backtrace_all(dev, positions, bt=None):
         _gather_undone if compact_mode == "nonzero" else _gather_undone_cumsum
     )
     zeros = jnp.zeros_like(positions)
-    p, off = _backtrace_steps_any(dev, positions, zeros, first_seg, bt)
+    p, off = _backtrace_steps_any(
+        dev, positions, zeros, first_seg, bt, prior_steps=0
+    )
     # nested compaction levels, each sized at the expected binomial
     # survival of its parent (+slack%); survival after k masked steps
     # is (1 - 1/ratio)^k
@@ -699,9 +789,13 @@ def backtrace_all(dev, positions, bt=None):
     levels = []
     cur_p, cur_off = p, off
     m = _round_up(int(b * surv_first * (100 + slack) / 100), 256)
+    steps_so_far = first_seg
     while m >= min_level and m < cur_p.shape[0]:
         idx, sub_p, sub_off = gather_undone(dev, cur_p, cur_off, m=m)
-        sub_p, sub_off = _backtrace_steps_any(dev, sub_p, sub_off, level_seg, bt)
+        sub_p, sub_off = _backtrace_steps_any(
+            dev, sub_p, sub_off, level_seg, bt, prior_steps=steps_so_far
+        )
+        steps_so_far += level_seg
         levels.append((idx, cur_p, cur_off))
         cur_p, cur_off = sub_p, sub_off
         m = _round_up(int(m * surv_level * (100 + slack) / 100), 256)
@@ -1210,6 +1304,54 @@ def _ngram_steps_fused_pair(ng, start, end, bad, *letter_cols, seg):
     return start, end, bad
 
 
+@functools.partial(jax.jit, static_argnames=("lo", "seg", "plan"))
+def _ngram_steps_fused_pair_routed(ng, start, end, bad, orig, words_pk, *,
+                                   lo, seg, plan):
+    """`seg` one-gather n-gram steps with slab-routed row gathers on
+    PERMUTED state (ngram_backward_step_pair_routed): ``orig`` tracks
+    each row's original query id across segments and the caller
+    restores once after the loop; ``words_pk`` carries every step's
+    word value as a sort payload (step lo+s reads its own vbits)."""
+    from .ops import ngram as ngram_ops
+
+    for s in range(seg):
+        start, end, bad, orig, words_pk = (
+            ngram_ops.ngram_backward_step_pair_routed(
+                ng, start, end, bad, orig, words_pk, lo + s, plan
+            )
+        )
+    return start, end, bad, orig, words_pk
+
+
+@functools.partial(jax.jit, static_argnames=("cols", "vbits"))
+def _ngram_words_packed(mat, *, cols, vbits):
+    """(B,) u32: every digram group's word value, packed vbits apiece
+    (step t at bits [vbits*t, vbits*(t+1)); ``cols``: tuple of
+    letter-column tuples, leftmost first; base-4 packing matches
+    ngram_ops._word_value). Guarded by the caller: vbits*len(cols)
+    <= 32."""
+    n = len(cols[0])
+    out = jnp.zeros(mat.shape[0], jnp.uint32)
+    for t, group in enumerate(cols):
+        v = None
+        for j, c in enumerate(group):
+            term = mat[:, c].astype(jnp.uint32) * jnp.uint32(
+                4 ** (n - 1 - j)
+            )
+            v = term if v is None else v + term
+        out = out | (v << jnp.uint32(vbits * t))
+    return out
+
+
+@jax.jit
+def _ngram_restore_by_orig(orig, start, end, bad):
+    _, start, end, bad8 = lax.sort(
+        (orig, start, end, bad.astype(jnp.uint8)),
+        num_keys=1, is_stable=False,
+    )
+    return start, end, bad8 != 0
+
+
 @functools.partial(jax.jit, static_argnames=("seg",))
 def _steps_fused(dev, start, end, *letter_cols, seg):
     """`seg` consecutive unmasked single steps in one program."""
@@ -1265,8 +1407,37 @@ def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k, defer=None):
     groups = [
         [m - n * (t + 1) + j for j in range(n)] for t in range(m // n)
     ]
+    # slab-routed pair-row gathers past the big-table wall (ops/route.py):
+    # state stays permuted across ALL digram segments (orig payload) and
+    # is restored once before the tail/fixup
+    from .ops import ngram as ngram_ops
+    from .ops import route as route_ops
+
+    plan = route_ops.plan_for(
+        ng.packed.shape[0], ng.packed.shape[1], mat.shape[0]
+    )
+    vbits = ngram_ops.ngram_vbits(n)
+    use_routed = (
+        pair
+        and plan is not None
+        and bool(groups)
+        and vbits * len(groups) <= 32  # every step's word packs one u32
+        and max(0, mat.shape[0] - 1).bit_length() + 1 <= 32  # orig|bad
+    )
+    orig = None
+    if use_routed:
+        words_pk = _ngram_words_packed(
+            mat, cols=tuple(tuple(g) for g in groups), vbits=vbits
+        )
+        orig = jnp.arange(mat.shape[0], dtype=jnp.uint32)
     for lo in range(0, len(groups), fuse):
         seg = groups[lo : lo + fuse]
+        if use_routed:
+            start, end, bad, orig, words_pk = _ngram_steps_fused_pair_routed(
+                ng, start, end, bad, orig, words_pk,
+                lo=lo, seg=len(seg), plan=plan,
+            )
+            continue
         cols = [c for g in seg for c in g]
         put_cols = [mat[:, c] for c in cols]
         if pair:
@@ -1277,6 +1448,8 @@ def _ngram_ranges_steploop(dev, ng, mat, *, kmer_len, seed_k, defer=None):
             start, end = _ngram_steps_fused(
                 ng, start, end, *put_cols, seg=len(seg)
             )
+    if use_routed:
+        start, end, bad = _ngram_restore_by_orig(orig, start, end, bad)
     tail = list(range(m % n - 1, -1, -1))
     for lo in range(0, len(tail), fuse):
         seg = tail[lo : lo + fuse]

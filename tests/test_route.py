@@ -1,0 +1,159 @@
+"""Slab-routed gather (ops/route.py): parity with the mono formulations.
+
+The routed path is a pure speed formulation of the same math — every
+test here asserts BIT-identical results against AWFM_ROUTE=0, including
+the clustered-batch overflow fallback (reference behavior anchor: the
+block fetch of AwFmOccurrence.c:52-135 has no ordering semantics, so a
+sort-and-restore reformulation must be observationally invisible).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import avxwindowfmindex_tpu as awfm
+from avxwindowfmindex_tpu import search as S
+from avxwindowfmindex_tpu.ops import ngram as ngram_ops
+from avxwindowfmindex_tpu.ops import route as route_ops
+
+
+TINY_SLAB = "16384"  # 128 rows/slab on 128 B rows: many slabs on toy tables
+
+
+@pytest.fixture
+def routed_env(monkeypatch):
+    monkeypatch.setenv("AWFM_ROUTE", "1")
+    monkeypatch.setenv("AWFM_ROUTE_SLAB_BYTES", TINY_SLAB)
+
+
+@pytest.fixture(scope="module")
+def dna_index():
+    rng = np.random.default_rng(0xB0)
+    seq = rng.choice(np.frombuffer(b"acgt", np.uint8), size=120_000).tobytes()
+    cfg = awfm.IndexConfiguration(
+        suffix_array_compression_ratio=8,
+        kmer_length_in_seed_table=6,
+        alphabet_type=awfm.AlphabetType.DNA,
+    )
+    return awfm.create_index(seq, cfg), seq
+
+
+def _sample_kmers(seq, n, k, seed=7):
+    rng = np.random.default_rng(seed)
+    arr = np.frombuffer(seq, np.uint8)
+    starts = rng.integers(0, len(seq) - k, size=n)
+    return [arr[s : s + k].tobytes() for s in starts]
+
+
+def test_plan_policy():
+    # off below the cliff / tiny batches in auto mode
+    assert route_ops.plan_for(1 << 20, 128, 1 << 22) is None  # 128 MiB
+    big = (2 << 30) // 128
+    assert route_ops.plan_for(big, 128, 1024) is None  # batch too small
+    p = route_ops.plan_for(big, 128, 1 << 22)
+    assert p is not None
+    assert p.sr * 128 <= (48 << 20)
+    assert p.k == -(-big // p.sr)
+    assert p.cap >= (1 << 22) // p.k
+    # forced mode routes toy tables but never a single slab
+    os.environ["AWFM_ROUTE"] = "1"
+    try:
+        assert route_ops.plan_for(100, 128, 512) is None  # fits one slab
+        os.environ["AWFM_ROUTE_SLAB_BYTES"] = TINY_SLAB
+        assert route_ops.plan_for(1000, 128, 512) is not None
+    finally:
+        os.environ.pop("AWFM_ROUTE")
+        os.environ.pop("AWFM_ROUTE_SLAB_BYTES")
+    assert route_ops.plan_for(1000, 128, 512) is None
+
+
+def test_routed_engines_match_mono(dna_index, routed_env, monkeypatch):
+    idx, seq = dna_index
+    kmers = _sample_kmers(seq, 300, 21)
+    monkeypatch.setenv("AWFM_ROUTE", "0")
+    base = S.NgramSearchEngine(idx)
+    c0 = list(base.count(kmers))
+    l0 = [sorted(h.tolist()) for h in base.locate(kmers)]
+    monkeypatch.setenv("AWFM_ROUTE", "1")
+    routed = S.NgramSearchEngine(idx)
+    assert list(routed.count(kmers)) == c0
+    assert [sorted(h.tolist()) for h in routed.locate(kmers)] == l0
+    single = S.SearchEngine(idx)
+    assert list(single.count(kmers)) == c0
+    assert [sorted(h.tolist()) for h in single.locate(kmers)] == l0
+
+
+def test_routed_steploop_parity(dna_index, routed_env, monkeypatch):
+    idx, seq = dna_index
+    dev = idx.to_device()
+    ng = ngram_ops.build_ngram_device(idx, 2)
+    eng = S.SearchEngine(idx)
+    mat, _, _ = eng.encode_kmers(_sample_kmers(seq, 256, 20))
+    mat = mat[:, :20]
+    monkeypatch.setenv("AWFM_ROUTE", "0")
+    s0, e0 = S._ngram_ranges_steploop(dev, ng, mat, kmer_len=20, seed_k=6)
+    monkeypatch.setenv("AWFM_ROUTE", "1")
+    s1, e1 = S._ngram_ranges_steploop(dev, ng, mat, kmer_len=20, seed_k=6)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+def test_routed_overflow_fallback(dna_index, routed_env, monkeypatch):
+    """A batch of identical kmers makes one slab run exceed the static
+    cap; the uncovered rows must flow into the exact redo nets (digram
+    bad-fixup; backtrace while_loop net) and keep results exact."""
+    idx, seq = dna_index
+    dev = idx.to_device()
+    ng = ngram_ops.build_ngram_device(idx, 2)
+    eng = S.SearchEngine(idx)
+    kmers = [_sample_kmers(seq, 1, 20)[0]] * 256
+    mat, _, _ = eng.encode_kmers(kmers)
+    mat = mat[:, :20]
+    monkeypatch.setenv("AWFM_ROUTE", "0")
+    s0, e0 = S._ngram_ranges_steploop(dev, ng, mat, kmer_len=20, seed_k=6)
+    monkeypatch.setenv("AWFM_ROUTE", "1")
+    s1, e1 = S._ngram_ranges_steploop(dev, ng, mat, kmer_len=20, seed_k=6)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    # identical-kmer locate drives the same clustered positions through
+    # the routed backtrace
+    monkeypatch.setenv("AWFM_ROUTE", "0")
+    l0 = [sorted(h.tolist()) for h in S.SearchEngine(idx).locate(kmers)]
+    monkeypatch.setenv("AWFM_ROUTE", "1")
+    l1 = [sorted(h.tolist()) for h in S.SearchEngine(idx).locate(kmers)]
+    assert l0 == l1
+
+
+def test_routed_backtrace_segment_parity(dna_index, routed_env):
+    """pack -> routed fused segments (state stays permuted across calls)
+    -> restore == _backtrace_steps_fused, positions AND offsets."""
+    import jax.numpy as jnp
+
+    idx, _ = dna_index
+    dev = idx.to_device()
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(
+        rng.integers(0, idx.bwt_length, size=1024, dtype=np.uint32)
+    )
+    off = jnp.zeros_like(pos)
+    p0, o0 = S._backtrace_steps_fused(dev, pos, off, seg=5)
+    p0, o0 = S._backtrace_steps_fused(dev, p0, o0, seg=3)
+    plan0 = route_ops.plan_for(
+        dev.packed.shape[0], dev.packed.shape[1], 1024
+    )
+    assert plan0 is not None
+    # cap = b: no slab run can overflow, so the routed walk is
+    # BIT-identical to the mono one (overflowed runs legitimately lag
+    # and are finished by backtrace_all's net instead)
+    plan = route_ops.RoutePlan(sr=plan0.sr, k=plan0.k, cap=1024)
+    off_bits = (5 + 3).bit_length()  # static total-step budget, as the
+    # schedule threads via prior_steps
+    p, packed = S._bt_routed_pack(pos, off, off_bits=off_bits)
+    p, packed = S._backtrace_steps_fused_routed(dev, p, packed, seg=5,
+                                                plan=plan)
+    p, packed = S._backtrace_steps_fused_routed(dev, p, packed, seg=3,
+                                                plan=plan)
+    p1, o1 = S._bt_routed_restore(p, packed, off_bits=off_bits)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
