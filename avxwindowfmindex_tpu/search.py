@@ -601,6 +601,28 @@ def _backtrace_steps_any(dev, p, off, n_steps, bt=None, prior_steps=None):
         if prior_steps is not None
         else 33  # unknown incoming offsets: never pack
     )
+    if (
+        plan is not None
+        and off_bits <= 31
+        and max(0, p.shape[0] - 1).bit_length() + off_bits > 32
+    ):
+        # batch too big for the (orig|off) u32 pack (multihit locate
+        # walks tens of millions of hits): route each max-size slice
+        # independently — same exactness story per slice, one extra
+        # compile shape for the remainder
+        max_b = 1 << (32 - off_bits)
+        if route_ops.plan_for(
+            dev.packed.shape[0], dev.packed.shape[1], max_b
+        ) is not None:
+            ps, offs = [], []
+            for lo in range(0, p.shape[0], max_b):
+                sp, so = _backtrace_steps_any(
+                    dev, p[lo : lo + max_b], off[lo : lo + max_b],
+                    n_steps, bt, prior_steps,
+                )
+                ps.append(sp)
+                offs.append(so)
+            return jnp.concatenate(ps), jnp.concatenate(offs)
     if plan is not None and (
         max(0, p.shape[0] - 1).bit_length() + off_bits <= 32
     ):

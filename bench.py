@@ -323,8 +323,12 @@ def main():
 
     # fixed-size chunks: one compiled shape regardless of NUM_QUERIES
     # (large-shape compiles through a remote TPU compiler take minutes)
-    # big chunks amortize per-dispatch overhead on serial step chains
-    chunk_q = min(NUM_QUERIES, 1_048_576)
+    # big chunks amortize per-dispatch overhead on serial step chains;
+    # the routed backtrace also prefers them (its win grows with batch:
+    # 1.29x at 1.4M -> 2.28x at 4M rows, ab_r4_routed_kernels R2)
+    chunk_q = min(
+        NUM_QUERIES, int(os.environ.get("AWFM_BENCH_CHUNK_Q", 1_048_576))
+    )
     if NUM_QUERIES % chunk_q != 0:  # round down to a whole number of chunks
         NUM_QUERIES = (NUM_QUERIES // chunk_q) * chunk_q
     # the query batch is uploaded ONCE and the timed stages measure

@@ -125,6 +125,51 @@ def test_routed_overflow_fallback(dna_index, routed_env, monkeypatch):
     assert l0 == l1
 
 
+def test_routed_backtrace_clustered_overflow_net(dna_index, routed_env,
+                                                 monkeypatch):
+    """All positions in ONE block with a cap-overflowing plan: every
+    routed window overflows, no row advances in the routed segments,
+    and backtrace_all's exactness net must still produce the mono
+    answer."""
+    import jax.numpy as jnp
+
+    idx, _ = dna_index
+    dev = idx.to_device()
+    rng = np.random.default_rng(13)
+    base = 5 * 256
+    pos = jnp.asarray(
+        rng.integers(base, base + 256, size=1024, dtype=np.uint32)
+    )
+    monkeypatch.setenv("AWFM_ROUTE", "0")
+    p0, o0 = S.backtrace_all(dev, pos)
+    monkeypatch.setenv("AWFM_ROUTE", "1")
+    p1, o1 = S.backtrace_all(dev, pos)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_routed_backtrace_sliced_bigbatch(dna_index, routed_env):
+    """When bits(batch) + off_bits exceed the u32 pack, the batch is
+    routed in max-size slices (multihit-locate shape). Simulate with a
+    huge prior_steps so max_b shrinks to a testable size."""
+    import jax.numpy as jnp
+
+    idx, _ = dna_index
+    dev = idx.to_device()
+    rng = np.random.default_rng(17)
+    pos = jnp.asarray(
+        rng.integers(0, idx.bwt_length, size=2048, dtype=np.uint32)
+    )
+    off = jnp.zeros_like(pos)
+    p0, o0 = S._backtrace_steps_any(dev, pos, off, 6, prior_steps=0)
+    # prior bound 2^22 -> off_bits 23 -> max_b = 512: forces 4 slices
+    p1, o1 = S._backtrace_steps_any(
+        dev, pos, off, 6, prior_steps=(1 << 22) - 6
+    )
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
 def test_routed_backtrace_segment_parity(dna_index, routed_env):
     """pack -> routed fused segments (state stays permuted across calls)
     -> restore == _backtrace_steps_fused, positions AND offsets."""
