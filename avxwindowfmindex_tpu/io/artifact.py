@@ -42,6 +42,12 @@ def save_artifact(index: FmIndex, path: str) -> None:
         "sampled_sa": index.sampled_sa,
         "sa_guard_bytes": np.frombuffer(index.sa_guard_bytes, dtype=np.uint8),
     }
+    if index.device_sa is not None:
+        # the denser device-only SA (create_index(device_sa_ratio=...))
+        # is a build-time product; preserving it makes the artifact a
+        # complete warm-start for TPU deployments
+        payload["device_sa"] = index.device_sa
+        payload["device_sa_ratio"] = np.int64(index.device_sa_ratio)
     if index.sequence is not None:
         payload["sequence"] = np.frombuffer(index.sequence, dtype=np.uint8)
     if index.fasta_metadata is not None:
@@ -95,5 +101,9 @@ def load_artifact(path: str) -> FmIndex:
                 z["sa_guard_bytes"].tobytes()
                 if "sa_guard_bytes" in z
                 else b"\x00" * 8
+            ),
+            device_sa=(z["device_sa"].copy() if "device_sa" in z else None),
+            device_sa_ratio=(
+                int(z["device_sa_ratio"]) if "device_sa_ratio" in z else None
             ),
         )

@@ -250,7 +250,8 @@ def pair_rows_from_ngram_blocks(packed: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def build_ngram_device(index: FmIndex, n: int, bias_cn=None) -> NgramIndex:
+def build_ngram_device(index: FmIndex, n: int, bias_cn=None,
+                       cache_path=None) -> NgramIndex:
     # Rows stay uint8 lanes: a u32-word variant of this table (isolated
     # A/B +7%, experiments/ab_r2_u32rank_results.txt) measured 1.6x
     # SLOWER end-to-end in bench.py's digram count (7.05M -> 4.3-4.5M
@@ -263,6 +264,20 @@ def build_ngram_device(index: FmIndex, n: int, bias_cn=None) -> NgramIndex:
     # opts out (e.g. for tables whose milestones must stay raw counts).
     if bias_cn is None:
         bias_cn = os.environ.get("AWFM_MS_PREBIAS", "1") == "1"
+    # cache_path: optional .npz of the FINISHED host rows — the host
+    # n-gram build is an O(n_bases) LF pass (~24 min at hg38); callers
+    # that rebuild the same index repeatedly (bench.py AWFM_BENCH_CACHE)
+    # key the path on every input that shapes the rows (corpus, n,
+    # prebias)
+    if cache_path and os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+            if bool(z["biased"]) == bool(bias_cn):
+                return NgramIndex(
+                    packed=jnp.asarray(z["pair"]),
+                    cn=jnp.asarray(z["cn"]),
+                    n=n,
+                    biased=bool(bias_cn),
+                )
     codes, cn = build_ngram_host(index, n)
     blocks = pack_ngram_blocks(codes, n)
     del codes
@@ -276,6 +291,12 @@ def build_ngram_device(index: FmIndex, n: int, bias_cn=None) -> NgramIndex:
         pair[:, ms_offset : ms_offset + n_words * 4] = ms.reshape(
             pair.shape[0], n_words * 4
         )
+    if cache_path:
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, pair=pair, cn=cn.astype(np.uint32),
+                     biased=np.int64(int(bias_cn)))
+        os.replace(tmp, cache_path)
     return NgramIndex(
         packed=jnp.asarray(pair),
         cn=jnp.asarray(cn.astype(np.uint32)),

@@ -61,3 +61,45 @@ def test_artifact_plain_awfmx_extension_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(
         SearchEngine(loaded).count(kmers), SearchEngine(index).count(kmers)
     )
+
+
+def test_artifact_preserves_device_sa(rng, tmp_path):
+    """The denser device-only SA (create_index(device_sa_ratio=r))
+    survives the artifact round trip — a warm-started deployment keeps
+    its short locate chains (bench.py AWFM_BENCH_CACHE relies on it)."""
+    seq = random_sequence(rng, 800, AlphabetType.DNA)
+    cfg = IndexConfiguration(8, 3, AlphabetType.DNA)
+    index = create_index(seq, cfg, device_sa_ratio=2)
+    assert index.device_sa is not None
+    path = str(tmp_path / "d.awfmx")
+    artifact.save_artifact(index, path)
+    loaded = artifact.load_artifact(path)
+    np.testing.assert_array_equal(loaded.device_sa, index.device_sa)
+    assert loaded.device_sa_ratio == index.device_sa_ratio
+    kmers = [random_kmer(rng, 5, AlphabetType.DNA) for _ in range(20)]
+    a = [sorted(h.tolist()) for h in SearchEngine(loaded).locate(kmers)]
+    b = [sorted(h.tolist()) for h in SearchEngine(index).locate(kmers)]
+    assert a == b
+
+
+def test_ngram_build_cache_roundtrip(rng, tmp_path):
+    """build_ngram_device(cache_path=...) writes finished host rows and
+    reloads them bit-identically (and ignores a stale cache whose
+    prebias flag differs)."""
+    from avxwindowfmindex_tpu.ops import ngram as ngram_ops
+
+    seq = random_sequence(rng, 700, AlphabetType.DNA)
+    index = create_index(seq, IndexConfiguration(4, 3, AlphabetType.DNA))
+    path = str(tmp_path / "ng.npz")
+    fresh = ngram_ops.build_ngram_device(index, 2, cache_path=path)
+    cached = ngram_ops.build_ngram_device(index, 2, cache_path=path)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.packed), np.asarray(cached.packed)
+    )
+    np.testing.assert_array_equal(np.asarray(fresh.cn), np.asarray(cached.cn))
+    assert cached.biased == fresh.biased
+    # flipped prebias must NOT serve the stale cache
+    other = ngram_ops.build_ngram_device(
+        index, 2, bias_cn=not fresh.biased, cache_path=path
+    )
+    assert other.biased == (not fresh.biased)
