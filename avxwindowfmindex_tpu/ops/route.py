@@ -85,10 +85,11 @@ def plan_for(
         (ab_r4_routed_kernels v3);
       - the table must be past the cliff (>= AWFM_ROUTE_MIN_BYTES,
         default 192 MiB; the fast/slow step is at 64->128 MiB);
-      - the batch must amortize the per-step slab streaming: routed
-        cost ~ table_bytes/425 GB/s + 2 ns/row vs mono ~10.6 ns/row
-        puts break-even at batch ~ table_bytes/3400
-        (AWFM_ROUTE_MIN_RATIO), floored at AWFM_ROUTE_MIN_BATCH (256k).
+      - the batch must amortize the per-step slab streaming: break-even
+        at batch ~ table_bytes/AWFM_ROUTE_MIN_RATIO (default 5000 —
+        ~290K rows on the hg38 narrow table, just under the measured
+        1.45x win at 512K; ab_r4_routed_kernels R2), floored at
+        AWFM_ROUTE_MIN_BATCH (256k).
     Slabs are AWFM_ROUTE_SLAB_BYTES (48 MiB; measured equal to 64 MiB
     and safer against VMEM co-residents); cap carries
     AWFM_ROUTE_CAP_SLACK % (25) over the uniform share.
@@ -108,7 +109,7 @@ def plan_for(
             return None
         min_batch = max(
             _env_int("AWFM_ROUTE_MIN_BATCH", 1 << 18),
-            table_bytes // max(1, _env_int("AWFM_ROUTE_MIN_RATIO", 3400)),
+            table_bytes // max(1, _env_int("AWFM_ROUTE_MIN_RATIO", 5000)),
         )
         if batch < min_batch:
             return None
