@@ -140,24 +140,7 @@ def _build_from_sanitized(
     # seed table: batched BFS on device using the same backward-step math
     # the search uses (exact parity with the DFS at AwFmCreate.c:407-450).
     # It STAYS on device; host copies materialize lazily for serde.
-    import dataclasses as _dc
-
-    from .models.index import DeviceIndex as _DeviceIndex
-    from .ops import seed_table as seed_mod
-
-    dev = index.to_device()
-    if isinstance(dev, _DeviceIndex):
-        table_dev = seed_mod.build_seed_table_device(
-            dev,
-            alpha.cardinality(config.alphabet_type),
-            config.kmer_length_in_seed_table,
-            prefix_sums_host=prefix_sums,
-        )
-        index._device_cache = _dc.replace(dev, seed_table=table_dev)
-    # else: wide layout (bwtLength >= 2^32) — _to_device_wide already ran
-    # the hi/lo device BFS (search64.build_seed_table_device64) and left
-    # the (A^k, 4) table attached; running the 32-bit builder here would
-    # crash on the missing prefix_sums field and clobber the wide table
+    attach_device_seed_table(index)
 
     import jax
 
@@ -180,6 +163,34 @@ def _build_from_sanitized(
             "suffix-array values from"
         )
     return index
+
+
+def attach_device_seed_table(index) -> None:
+    """(Re)build the narrow device seed table for an index whose host
+    copy is absent — used at build, and by loaders of artifacts saved
+    without a seed table (the batched device BFS takes seconds where
+    pulling the host copy through a remote-TPU tunnel takes ~30 min at
+    hg38 scale; io/artifact.py).
+
+    Wide layout (bwtLength >= 2^32): no-op — `_to_device_wide` already
+    ran the hi/lo device BFS (search64.build_seed_table_device64) and
+    left the (A^k, 4) table attached; running the 32-bit builder would
+    crash on the missing prefix_sums field and clobber the wide table.
+    """
+    import dataclasses as _dc
+
+    from .models.index import DeviceIndex as _DeviceIndex
+    from .ops import seed_table as seed_mod
+
+    dev = index.to_device()
+    if isinstance(dev, _DeviceIndex):
+        table_dev = seed_mod.build_seed_table_device(
+            dev,
+            alpha.cardinality(index.config.alphabet_type),
+            index.config.kmer_length_in_seed_table,
+            prefix_sums_host=index.prefix_sums,
+        )
+        index._device_cache = _dc.replace(dev, seed_table=table_dev)
 
 
 def _warn_mixed_case_amino(seq_arr: np.ndarray, alphabet: AlphabetType) -> None:

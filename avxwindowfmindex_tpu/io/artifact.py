@@ -22,8 +22,16 @@ from ..models.index import FastaMetadata, FmIndex
 _FORMAT_VERSION = 1
 
 
-def save_artifact(index: FmIndex, path: str) -> None:
-    """Serialize to the native .awfmx (NPZ) artifact."""
+def save_artifact(index: FmIndex, path: str, *,
+                  pull_device_seed_table: bool = False) -> None:
+    """Serialize to the native .awfmx (NPZ) artifact.
+
+    When the seed table exists only on device (the narrow build leaves
+    it there), it is OMITTED unless ``pull_device_seed_table`` — a
+    device->host pull through a remote-TPU tunnel runs ~0.3 MB/s
+    (~30 min for the 536 MB k=13 table), while ``load_artifact``
+    rebuilds it with the batched device BFS in seconds.
+    """
     if index.sampled_sa is None:
         raise ValueError("cannot serialize: sampled suffix array not in memory")
     cfg = index.config
@@ -38,10 +46,11 @@ def save_artifact(index: FmIndex, path: str) -> None:
         "bwt_length": np.int64(index.bwt_length),
         "bwt_letters": index.bwt_letters,
         "prefix_sums": index.prefix_sums,
-        "kmer_seed_table": index.seed_table_host(),
         "sampled_sa": index.sampled_sa,
         "sa_guard_bytes": np.frombuffer(index.sa_guard_bytes, dtype=np.uint8),
     }
+    if index.kmer_seed_table is not None or pull_device_seed_table:
+        payload["kmer_seed_table"] = index.seed_table_host()
     if index.device_sa is not None:
         # the denser device-only SA (create_index(device_sa_ratio=...))
         # is a build-time product; preserving it makes the artifact a
@@ -63,7 +72,11 @@ def save_artifact(index: FmIndex, path: str) -> None:
 
 
 def load_artifact(path: str) -> FmIndex:
-    """Load a native .awfmx (NPZ) artifact."""
+    """Load a native .awfmx (NPZ) artifact.
+
+    Artifacts saved without a host seed table (see ``save_artifact``)
+    get theirs rebuilt by the batched device BFS before returning, so
+    a loaded index is always search-ready."""
     with np.load(path) as z:
         version = int(z["format_version"])
         if version != _FORMAT_VERSION:
@@ -85,12 +98,16 @@ def load_artifact(path: str) -> FmIndex:
                 header_ends=z["fasta_header_ends"].copy(),
                 sequence_ends=z["fasta_sequence_ends"].copy(),
             )
-        return FmIndex(
+        idx = FmIndex(
             config=cfg,
             bwt_length=int(z["bwt_length"]),
             bwt_letters=z["bwt_letters"].copy(),
             prefix_sums=z["prefix_sums"].copy(),
-            kmer_seed_table=z["kmer_seed_table"].copy(),
+            kmer_seed_table=(
+                z["kmer_seed_table"].copy()
+                if "kmer_seed_table" in z
+                else None
+            ),
             sampled_sa=z["sampled_sa"].copy(),
             version_number=int(z["awfmi_version"]),
             feature_flags=int(z["feature_flags"]),
@@ -107,3 +124,8 @@ def load_artifact(path: str) -> FmIndex:
                 int(z["device_sa_ratio"]) if "device_sa_ratio" in z else None
             ),
         )
+    if idx.kmer_seed_table is None:
+        from ..build import attach_device_seed_table
+
+        attach_device_seed_table(idx)
+    return idx

@@ -103,3 +103,22 @@ def test_ngram_build_cache_roundtrip(rng, tmp_path):
         index, 2, bias_cn=not fresh.biased, cache_path=path
     )
     assert other.biased == (not fresh.biased)
+
+
+def test_artifact_without_host_seed_table(rng, tmp_path):
+    """An index whose seed table lives only on device serializes WITHOUT
+    it (no tunnel pull) and load_artifact rebuilds it via the device
+    BFS — results identical."""
+    seq = random_sequence(rng, 900, AlphabetType.DNA)
+    index = create_index(seq, IndexConfiguration(4, 4, AlphabetType.DNA))
+    kmers = [random_kmer(rng, 6, AlphabetType.DNA) for _ in range(30)]
+    want = list(SearchEngine(index).count(kmers))
+    index.kmer_seed_table = None  # simulate the device-only state
+    path = str(tmp_path / "ns.awfmx")
+    artifact.save_artifact(index, path)
+    import numpy as _np
+
+    with _np.load(path) as z:
+        assert "kmer_seed_table" not in z
+    loaded = artifact.load_artifact(path)
+    assert list(SearchEngine(loaded).count(kmers)) == want
