@@ -23,7 +23,8 @@ _FORMAT_VERSION = 1
 
 
 def save_artifact(index: FmIndex, path: str, *,
-                  pull_device_seed_table: bool = False) -> None:
+                  pull_device_seed_table: bool = False,
+                  compress: bool = True) -> None:
     """Serialize to the native .awfmx (NPZ) artifact.
 
     When the seed table exists only on device (the narrow build leaves
@@ -31,6 +32,11 @@ def save_artifact(index: FmIndex, path: str, *,
     device->host pull through a remote-TPU tunnel runs ~0.3 MB/s
     (~30 min for the 536 MB k=13 table), while ``load_artifact``
     rebuilds it with the batched device BFS in seconds.
+
+    ``compress=False`` writes a plain NPZ: suffix arrays are
+    near-incompressible, so zlib buys ~40%% size for minutes of
+    single-threaded CPU at genome scale (measured ~6 MB/s) — local
+    warm-start caches (bench.py) want disk-speed writes instead.
     """
     if index.sampled_sa is None:
         raise ValueError("cannot serialize: sampled suffix array not in memory")
@@ -67,8 +73,9 @@ def save_artifact(index: FmIndex, path: str, *,
     # write through a file object: np.savez_compressed silently appends
     # ".npz" to bare string paths, which would break the advertised
     # save_artifact('x.awfmx') -> load_artifact('x.awfmx') round trip
+    writer = np.savez_compressed if compress else np.savez
     with open(path, "wb") as fh:
-        np.savez_compressed(fh, **payload)
+        writer(fh, **payload)
 
 
 def load_artifact(path: str) -> FmIndex:

@@ -316,7 +316,7 @@ def main():
             from avxwindowfmindex_tpu.io.artifact import save_artifact
 
             t0 = time.time()
-            save_artifact(index, art_path)
+            save_artifact(index, art_path, compress=False)
             _log(f"index cached in {time.time() - t0:.1f}s ({art_path})")
     dev = index.to_device()
     dev_dense = None

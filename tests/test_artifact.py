@@ -34,6 +34,23 @@ def test_artifact_roundtrip(rng, tmp_path, alphabet):
     )
 
 
+def test_artifact_uncompressed_roundtrip(rng, tmp_path):
+    """compress=False writes a plain NPZ (disk-speed cache writes);
+    load_artifact must read it identically to the compressed form."""
+    seq = random_sequence(rng, 600, AlphabetType.DNA)
+    cfg = IndexConfiguration(4, 3, AlphabetType.DNA)
+    index = create_index(seq, cfg)
+    path = str(tmp_path / "t.awfmx")
+    artifact.save_artifact(index, path, compress=False)
+    loaded = artifact.load_artifact(path)
+    np.testing.assert_array_equal(loaded.bwt_letters, index.bwt_letters)
+    np.testing.assert_array_equal(loaded.sampled_sa, index.sampled_sa)
+    kmers = [random_kmer(rng, 4, AlphabetType.DNA) for _ in range(10)]
+    np.testing.assert_array_equal(
+        SearchEngine(loaded).count(kmers), SearchEngine(index).count(kmers)
+    )
+
+
 def test_artifact_with_fasta_metadata(rng, tmp_path):
     fasta = tmp_path / "m.fasta"
     fasta.write_text(">one\nGATTACA\n>two\nACGTACGT\n")
