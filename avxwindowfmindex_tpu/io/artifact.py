@@ -19,7 +19,12 @@ import numpy as np
 from ..models.config import AlphabetType, IndexConfiguration
 from ..models.index import FastaMetadata, FmIndex
 
-_FORMAT_VERSION = 1
+# v1: every field mandatory, incl. kmer_seed_table.
+# v2: kmer_seed_table optional (device-only builds omit it; loaders
+#     rebuild via the device BFS). Bumped so v1-era readers reject the
+#     file with a clear version error instead of a KeyError.
+_FORMAT_VERSION = 2
+_READABLE_VERSIONS = (1, 2)
 
 
 def save_artifact(index: FmIndex, path: str, *,
@@ -86,7 +91,7 @@ def load_artifact(path: str) -> FmIndex:
     a loaded index is always search-ready."""
     with np.load(path) as z:
         version = int(z["format_version"])
-        if version != _FORMAT_VERSION:
+        if version not in _READABLE_VERSIONS:
             raise ValueError(f"{path}: unsupported artifact version {version}")
         cfg = IndexConfiguration(
             suffix_array_compression_ratio=int(z["ratio"]),

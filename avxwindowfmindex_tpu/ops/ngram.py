@@ -271,7 +271,18 @@ def build_ngram_device(index: FmIndex, n: int, bias_cn=None,
     # prebias)
     if cache_path and os.path.exists(cache_path):
         with np.load(cache_path) as z:
-            if bool(z["biased"]) == bool(bias_cn):
+            # validate EVERY row-shaping input, not just the bias flag:
+            # a mis-keyed path (e.g. an n=2 file offered to an n=3
+            # build, or a different corpus) would otherwise return
+            # wrong-geometry rows with no diagnostic. Files written
+            # before the n/bwt_length stamps existed fail the check and
+            # rebuild — the safe direction.
+            if (
+                bool(z["biased"]) == bool(bias_cn)
+                and "n" in z
+                and int(z["n"]) == int(n)
+                and int(z["bwt_length"]) == int(index.bwt_length)
+            ):
                 return NgramIndex(
                     packed=jnp.asarray(z["pair"]),
                     cn=jnp.asarray(z["cn"]),
@@ -295,7 +306,8 @@ def build_ngram_device(index: FmIndex, n: int, bias_cn=None,
         tmp = cache_path + ".tmp"
         with open(tmp, "wb") as fh:
             np.savez(fh, pair=pair, cn=cn.astype(np.uint32),
-                     biased=np.int64(int(bias_cn)))
+                     biased=np.int64(int(bias_cn)), n=np.int64(n),
+                     bwt_length=np.int64(index.bwt_length))
         os.replace(tmp, cache_path)
     return NgramIndex(
         packed=jnp.asarray(pair),

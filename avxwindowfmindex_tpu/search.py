@@ -455,11 +455,13 @@ def _backtrace_steps_fused(dev, p, off, *, seg):
 def _bt_routed_pack(p, off, *, off_bits):
     """(p, packed) for the routed backtrace: packed = orig<<off_bits | off.
 
-    The walk offset is bounded by dev.ratio - 1 (SA sampled every ratio
-    positions and off stops advancing once done), so it lives in the low
-    ``off_bits``; the origin index rides the high bits and a single
-    final key-sort on ``packed`` restores the caller's order AND yields
-    off with no extra payload. Guarded by the caller:
+    Walk offsets are NOT bounded by dev.ratio - 1 (sampling is by BWT
+    position; see _backtrace_steps_any) — the real invariant is
+    off <= prior_steps + n_steps, the schedule's static total step
+    count, from which the caller derives ``off_bits``. Offsets live in
+    the low ``off_bits``; the origin index rides the high bits and a
+    single final key-sort on ``packed`` restores the caller's order AND
+    yields off with no extra payload. Guarded by the caller:
     bits(batch-1) + off_bits <= 32."""
     orig = jnp.arange(p.shape[0], dtype=jnp.uint32)
     return p, (orig << jnp.uint32(off_bits)) | off

@@ -79,12 +79,18 @@ def detect_hbm_bytes() -> Tuple[int, str]:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:  # pragma: no cover - no backend at all
         return HBM_BYTES["v5e"], "no JAX backend; assumed v5e"
-    if "v5p" in kind or ("v5" in kind and "lite" not in kind):
+    # check the 16 GB variants FIRST: a "v5e" kind string without "lite"
+    # would otherwise match the generic v5 branch and be budgeted as a
+    # 95 GB v5p — the planner would then pick a config that OOMs a
+    # 16 GB chip. Unknown kinds also fall through to the small budget:
+    # underestimating HBM costs a denser seed table, overestimating
+    # costs the device.
+    if "lite" in kind or "v5e" in kind:
+        return HBM_BYTES["v5e"], f"detected {kind}"
+    if "v5p" in kind or "v5" in kind:
         return HBM_BYTES["v5p"], f"detected {kind}"
     if "v4" in kind:
         return HBM_BYTES["v4"], f"detected {kind}"
-    if "lite" in kind or "v5e" in kind:
-        return HBM_BYTES["v5e"], f"detected {kind}"
     return HBM_BYTES["v5e"], f"unknown device kind {kind!r}; assumed v5e"
 
 

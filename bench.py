@@ -334,8 +334,11 @@ def main():
     ngram_n = int(os.environ.get("AWFM_BENCH_NGRAM", 2))
     if cache_dir:
         prebias = os.environ.get("AWFM_MS_PREBIAS", "1")
+        # keyed ONLY on what shapes the rows (corpus size, n, prebias):
+        # seed_k / sa ratios don't enter the pair table, so sweeps over
+        # them must warm-start from the same file
         ng_cache_path = os.path.join(
-            cache_dir, f"{cache_key}_ng{ngram_n}_pb{prebias}.npz"
+            cache_dir, f"b{NUM_BASES}_ng{ngram_n}_pb{prebias}.npz"
         )
     t0 = time.time()
     dig = ngram_ops.build_ngram_device(

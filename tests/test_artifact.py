@@ -120,6 +120,40 @@ def test_ngram_build_cache_roundtrip(rng, tmp_path):
         index, 2, bias_cn=not fresh.biased, cache_path=path
     )
     assert other.biased == (not fresh.biased)
+    # an n=2 cache file must NOT be served to an n=3 build (the rows'
+    # geometry differs; a silent hit would corrupt every result)
+    tri = ngram_ops.build_ngram_device(index, 3, cache_path=path)
+    assert tri.n == 3
+    assert np.asarray(tri.packed).shape != np.asarray(fresh.packed).shape
+    # nor a cache built from a DIFFERENT corpus (bwt_length mismatch)
+    seq2 = random_sequence(rng, 900, AlphabetType.DNA)
+    index2 = create_index(seq2, IndexConfiguration(4, 3, AlphabetType.DNA))
+    crossed = ngram_ops.build_ngram_device(index2, 2, cache_path=path)
+    assert np.asarray(crossed.packed).shape[0] != np.asarray(fresh.packed).shape[0]
+
+
+def test_artifact_version_gate(rng, tmp_path):
+    """New artifacts stamp v2 (kmer_seed_table became optional); the
+    loader accepts v1 and v2 and rejects anything newer by version
+    number, not by KeyError."""
+    seq = random_sequence(rng, 600, AlphabetType.DNA)
+    index = create_index(seq, IndexConfiguration(4, 3, AlphabetType.DNA))
+    path = str(tmp_path / "v.awfmx")
+    artifact.save_artifact(index, path)
+    with np.load(path) as z:
+        payload = {k: z[k] for k in z.files}
+    assert int(payload["format_version"]) == 2
+    # a v1 file (always carries the seed table) still loads
+    payload["format_version"] = np.int64(1)
+    with open(path, "wb") as fh:
+        np.savez(fh, **payload)
+    assert artifact.load_artifact(path).bwt_length == index.bwt_length
+    # an unknown future version is rejected with a clear error
+    payload["format_version"] = np.int64(3)
+    with open(path, "wb") as fh:
+        np.savez(fh, **payload)
+    with pytest.raises(ValueError, match="version 3"):
+        artifact.load_artifact(path)
 
 
 def test_artifact_without_host_seed_table(rng, tmp_path):

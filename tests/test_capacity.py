@@ -16,6 +16,32 @@ V5E = cap.HBM_BYTES["v5e"]
 V5P = cap.HBM_BYTES["v5p"]
 
 
+def test_detect_hbm_device_kind_strings(monkeypatch):
+    """Kind strings must classify by the 16 GB variants FIRST: 'TPU v5e'
+    contains 'v5' but not 'lite' and must NOT be budgeted as a 95 GB
+    v5p (the planner would then pick an OOM config on a 16 GB chip).
+    Unknown kinds fall back to the small budget for the same reason."""
+
+    class _Dev:
+        def __init__(self, kind):
+            self.device_kind = kind
+
+    cases = {
+        "TPU v5 lite": V5E,
+        "TPU v5e": V5E,
+        "TPU v5p": V5P,
+        "TPU v5": V5P,
+        "TPU v4": cap.HBM_BYTES["v4"],
+        "mystery accelerator": V5E,
+    }
+    import jax
+
+    for kind, want in cases.items():
+        monkeypatch.setattr(jax, "devices", lambda k=kind: [_Dev(k)])
+        got, note = cap.detect_hbm_bytes()
+        assert got == want, (kind, got, note)
+
+
 def test_component_bytes_exact_dna():
     comp = cap.component_bytes(
         64_000_000, AlphabetType.DNA, seed_k=14, sa_ratio=8,
