@@ -486,13 +486,29 @@ def _backtrace_steps_fused_routed(dev, p, packed, *, seg, plan):
     (covered=False); backtrace_all's exactness net finishes any such
     stragglers, so results equal _backtrace_steps_fused after restore
     + net.
+
+    DONE rows sort LAST under a sentinel key (their gather lands on the
+    clamped last row and is discarded by the step mask, exactly like an
+    uncovered row). Sorting them by their frozen position instead was
+    the round-4 hg38 production regression (3.7-4.6x, bench_hg38_r4 vs
+    _route0): enumerate pads freeze ~65K rows at position 0 — more than
+    slab 0's entire cap window — so every REAL slab-0 row came back
+    covered=False in every segment and the full-batch while_loop net
+    re-walked them at ~20 ms per LF step. The sentinel costs nothing:
+    unstable sorts measure the same at any operand arity
+    (ab_r4_routed_kernels R0).
     """
     from .ops import route as route_ops
 
     ratio_u = jnp.uint32(dev.ratio)
     for _ in range(seg):
-        p, packed = lax.sort((p, packed), num_keys=1, is_stable=False)
-        blk = (p // jnp.uint32(rank_ops.POSITIONS_PER_BLOCK)).astype(
+        key = jnp.where(
+            (p % ratio_u) == 0, jnp.uint32(0xFFFFFFFF), p
+        )
+        key, p, packed = lax.sort(
+            (key, p, packed), num_keys=1, is_stable=False
+        )
+        blk = (key // jnp.uint32(rank_ops.POSITIONS_PER_BLOCK)).astype(
             jnp.int32
         )
         rows, covered = route_ops.routed_gather(dev.packed, blk, plan)
@@ -656,30 +672,50 @@ def _undone_count(dev, p):
     return jnp.sum((p % jnp.uint32(dev.ratio)) != 0, dtype=jnp.int32)
 
 
+def _mask_pad_slots(p, off, idx, b):
+    """Pad slots (idx == b, one past the parent batch) become DONE
+    sentinels: position 0 (sampled — walks nothing) with idx out of
+    bounds so `_scatter_back` drops them. They used to duplicate row 0
+    instead; when row 0 was undone, tens of thousands of copies of ONE
+    position walked every level in lockstep — harmless for the mono
+    gather, but a deterministic cap-overflow bomb for the slab-routed
+    one (any shared slab run blows the static cap and crowds REAL rows
+    into the exactness net — the round-4 hg38 production regression)."""
+    pad = idx >= jnp.int32(b)
+    safe = jnp.where(pad, jnp.int32(0), idx)
+    return (
+        idx,
+        jnp.where(pad, jnp.uint32(0), p[safe]),
+        jnp.where(pad, jnp.uint32(0), off[safe]),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def _gather_undone(dev, p, off, *, m):
+    b = p.shape[0]
     idx = jnp.nonzero(
-        (p % jnp.uint32(dev.ratio)) != 0, size=m, fill_value=0
+        (p % jnp.uint32(dev.ratio)) != 0, size=m, fill_value=b
     )[0].astype(jnp.int32)
-    return idx, p[idx], off[idx]
+    return _mask_pad_slots(p, off, idx, b)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
 def _gather_undone_cumsum(dev, p, off, *, m):
     """Same contract as _gather_undone via cumsum + drop-mode scatter
-    (padded slots index row 0, like nonzero's fill_value=0). This is
+    (padded slots are dropped done-sentinels; _mask_pad_slots). This is
     the production DEFAULT compaction — measured cheaper than XLA's
     sized nonzero at every level size (ab_r3_btsched2); AWFM_BT_COMPACT
     =nonzero opts back."""
+    b = p.shape[0]
     mask = (p % jnp.uint32(dev.ratio)) != 0
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     src = jnp.where(mask, pos, m)  # done rows scatter out of bounds
     idx = (
-        jnp.zeros(m, dtype=jnp.int32)
+        jnp.full((m,), b, dtype=jnp.int32)
         .at[src]
-        .set(jnp.arange(p.shape[0], dtype=jnp.int32), mode="drop")
+        .set(jnp.arange(b, dtype=jnp.int32), mode="drop")
     )
-    return idx, p[idx], off[idx]
+    return _mask_pad_slots(p, off, idx, b)
 
 
 def _bt_schedule(ratio: int):
@@ -722,7 +758,11 @@ def _bt_schedule(ratio: int):
 
 @jax.jit
 def _scatter_back(p, off, idx, sub_p, sub_off):
-    return p.at[idx].set(sub_p), off.at[idx].set(sub_off)
+    # pad slots carry idx == parent batch size: dropped explicitly
+    return (
+        p.at[idx].set(sub_p, mode="drop"),
+        off.at[idx].set(sub_off, mode="drop"),
+    )
 
 
 @jax.jit

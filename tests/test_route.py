@@ -202,3 +202,73 @@ def test_routed_backtrace_segment_parity(dna_index, routed_env):
     p1, o1 = S._bt_routed_restore(p, packed, off_bits=off_bits)
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_routed_backtrace_pads_do_not_crowd_caps(dna_index, routed_env):
+    """The round-4 hg38 production regression, in miniature: a batch
+    whose majority is done-at-position-0 pads (enumerate's capacity
+    padding) plus real rows concentrated in slab 0. With the old
+    p-key sort the pads consumed slab 0's whole cap window and every
+    real slab-0 row fell to the exactness net; the sentinel-key sort
+    must keep real rows covered — asserted here by parity AND by the
+    routed fused segment advancing the real rows (net-free check).
+    """
+    import jax.numpy as jnp
+
+    idx, _ = dna_index
+    dev = idx.to_device()
+    rng = np.random.default_rng(23)
+    n_real = 128
+    # real rows: undone positions inside slab 0 (block ids < sr)
+    plan0 = route_ops.plan_for(dev.packed.shape[0], dev.packed.shape[1],
+                               1024)
+    assert plan0 is not None and plan0.k >= 2
+    lim = min(plan0.sr * 256, idx.bwt_length)
+    real = rng.integers(1, lim, size=n_real, dtype=np.uint32)
+    real = real[np.asarray(real) % 8 != 0][:64]
+    pads = np.zeros(1024 - real.size, dtype=np.uint32)
+    pos = jnp.asarray(np.concatenate([real, pads]))
+    off = jnp.zeros_like(pos)
+    # cap smaller than the pad count but bigger than the real slab-0
+    # run: the old sort order overflowed, the sentinel order must not
+    plan = route_ops.RoutePlan(sr=plan0.sr, k=plan0.k, cap=256)
+    p0, o0 = S._backtrace_steps_fused(dev, pos, off, seg=4)
+    p, packed = S._bt_routed_pack(pos, off, off_bits=3)
+    p, packed = S._backtrace_steps_fused_routed(dev, p, packed, seg=4,
+                                                plan=plan)
+    p1, o1 = S._bt_routed_restore(p, packed, off_bits=3)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_compaction_pad_slots_are_dropped_done_sentinels(dna_index):
+    """_gather_undone{,_cumsum} pad slots: position 0 (done), idx == b
+    (dropped by _scatter_back) — never duplicates of row 0 (the
+    round-4 routed-cap bomb when row 0 was undone)."""
+    import jax.numpy as jnp
+
+    idx_obj, _ = dna_index
+    dev = idx_obj.to_device()
+    assert dev.ratio == 8
+    # row 0 UNDONE (p=3); only 2 undone rows, m=8 -> 6 pad slots
+    p = jnp.asarray(np.array([3, 8, 16, 11, 24, 32], dtype=np.uint32))
+    off = jnp.asarray(np.arange(6, dtype=np.uint32))
+    for fn in (S._gather_undone, S._gather_undone_cumsum):
+        idx, sub_p, sub_off = fn(dev, p, off, m=8)
+        idx = np.asarray(idx)
+        sub_p = np.asarray(sub_p)
+        sub_off = np.asarray(sub_off)
+        assert sorted(idx[idx < 6].tolist()) == [0, 3]
+        assert (idx[sub_p == 0] == 6).all()  # pads: done + out of bounds
+        assert (sub_p[idx == 6] == 0).all()
+        assert (sub_off[idx == 6] == 0).all()
+        # scatter_back drops pads: parent arrays unchanged except the
+        # genuinely-updated rows
+        new_p, new_off = S._scatter_back(
+            p, off, jnp.asarray(idx), jnp.asarray(sub_p) + 1,
+            jnp.asarray(sub_off) + 1,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(new_p)[[1, 2, 4, 5]], np.asarray(p)[[1, 2, 4, 5]]
+        )
+        assert np.asarray(new_p)[0] == 4 and np.asarray(new_p)[3] == 12
