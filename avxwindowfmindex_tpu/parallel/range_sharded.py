@@ -708,19 +708,30 @@ def _undone_count64_rs(p_hi, p_lo, *, ratio):
 
 @functools.partial(jax.jit, static_argnames=("ratio", "m"))
 def _gather_undone64_rs(p_hi, p_lo, off, *, ratio, m):
+    # pad slots: dropped done-sentinels, same contract as
+    # search64._gather_undone64 (never row-0 duplicates)
+    b = p_lo.shape[0]
     idx = jnp.nonzero(
         r64.mod_small64(p_hi, p_lo, ratio) != jnp.uint32(0),
-        size=m, fill_value=0,
+        size=m, fill_value=b,
     )[0].astype(jnp.int32)
-    return idx, p_hi[idx], p_lo[idx], off[idx]
+    pad = idx >= jnp.int32(b)
+    safe = jnp.where(pad, jnp.int32(0), idx)
+    z = jnp.uint32(0)
+    return (
+        idx,
+        jnp.where(pad, z, p_hi[safe]),
+        jnp.where(pad, z, p_lo[safe]),
+        jnp.where(pad, z, off[safe]),
+    )
 
 
 @jax.jit
 def _scatter_back64_rs(p_hi, p_lo, off, idx, s_hi, s_lo, s_off):
     return (
-        p_hi.at[idx].set(s_hi),
-        p_lo.at[idx].set(s_lo),
-        off.at[idx].set(s_off),
+        p_hi.at[idx].set(s_hi, mode="drop"),
+        p_lo.at[idx].set(s_lo, mode="drop"),
+        off.at[idx].set(s_off, mode="drop"),
     )
 
 

@@ -334,36 +334,56 @@ def _undone_count64(dev, p_hi, p_lo):
     )
 
 
+def _mask_pad_slots64(p_hi, p_lo, off, idx, b):
+    """Pad slots (idx == b) become dropped done-sentinels — position 0
+    is sampled, walks nothing, and `_scatter_back64` drops the
+    out-of-bounds index. Mirrors search._mask_pad_slots: row-0
+    duplicates are harmless for the mono gather but are a cap-overflow
+    bomb for any future slab-routed wide formulation."""
+    pad = idx >= jnp.int32(b)
+    safe = jnp.where(pad, jnp.int32(0), idx)
+    z = jnp.uint32(0)
+    return (
+        idx,
+        jnp.where(pad, z, p_hi[safe]),
+        jnp.where(pad, z, p_lo[safe]),
+        jnp.where(pad, z, off[safe]),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def _gather_undone64(dev, p_hi, p_lo, off, *, m):
+    b = p_lo.shape[0]
     idx = jnp.nonzero(
-        r64.mod_small64(p_hi, p_lo, dev.ratio) != _U0, size=m, fill_value=0
+        r64.mod_small64(p_hi, p_lo, dev.ratio) != _U0, size=m, fill_value=b
     )[0].astype(jnp.int32)
-    return idx, p_hi[idx], p_lo[idx], off[idx]
+    return _mask_pad_slots64(p_hi, p_lo, off, idx, b)
 
 
 @jax.jit
 def _scatter_back64(p_hi, p_lo, off, idx, s_hi, s_lo, s_off):
+    # pad slots carry idx == parent batch size: dropped explicitly
     return (
-        p_hi.at[idx].set(s_hi),
-        p_lo.at[idx].set(s_lo),
-        off.at[idx].set(s_off),
+        p_hi.at[idx].set(s_hi, mode="drop"),
+        p_lo.at[idx].set(s_lo, mode="drop"),
+        off.at[idx].set(s_off, mode="drop"),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
 def _gather_undone_cumsum64(dev, p_hi, p_lo, off, *, m):
     """Wide counterpart of search._gather_undone_cumsum (padded slots
-    index row 0, matching nonzero's fill_value=0)."""
+    are dropped done-sentinels; _mask_pad_slots64)."""
+    b = p_lo.shape[0]
     mask = r64.mod_small64(p_hi, p_lo, dev.ratio) != _U0
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     src = jnp.where(mask, pos, m)
     idx = (
-        jnp.zeros(m, dtype=jnp.int32)
+        jnp.full((m,), b, dtype=jnp.int32)
         .at[src]
-        .set(jnp.arange(p_lo.shape[0], dtype=jnp.int32), mode="drop")
+        .set(jnp.arange(b, dtype=jnp.int32), mode="drop")
     )
-    return idx, p_hi[idx], p_lo[idx], off[idx]
+    return _mask_pad_slots64(p_hi, p_lo, off, idx, b)
 
 
 @jax.jit
