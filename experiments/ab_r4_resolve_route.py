@@ -154,14 +154,18 @@ def main():
             )
             k = -(-n_rows // SR)
             cap = min(b, -(-b * 125 // (100 * k)))
-            m0 = jax.jit(
-                lambda s, t=tab, i=idx0: mono_chain(t, i, s),
-                static_argnums=0,
-            )
-            r1 = jax.jit(
-                lambda s, t=tab, i=idx0, c=cap: routed_chain(t, i, s, c),
-                static_argnums=0,
-            )
+            # tab/idx0 are jit ARGUMENTS, never closures: closed-over
+            # device arrays embed as HLO constants and the multi-GB
+            # program upload wedges the remote-compile relay (RUNBOOK
+            # operational addendum)
+            mono_jit = jax.jit(mono_chain, static_argnums=2)
+            routed_jit = jax.jit(routed_chain, static_argnums=(2, 3))
+
+            def m0(s):
+                return mono_jit(tab, idx0, s)
+
+            def r1(s):
+                return routed_jit(tab, idx0, s, cap)
             # checksum parity (chained sums must agree exactly)
             cm = int(np.asarray(m0(3)))
             cr = int(np.asarray(r1(3)))
