@@ -123,6 +123,26 @@ def plan_for(
     return RoutePlan(sr=sr, k=k, cap=cap)
 
 
+def min_routed_batch(
+    n_rows: int, row_bytes: int, hi: int = 1 << 24
+) -> Optional[int]:
+    """Smallest batch at which ``plan_for`` routes this table, or None
+    if it never routes (up to ``hi``). Exact: binary search over the
+    policy itself, so callers (bench roofline split) never re-derive
+    the thresholds. plan_for is monotone in batch: the min-batch gate
+    and the cap >= 1024 gate both relax as batch grows."""
+    if plan_for(n_rows, row_bytes, hi) is None:
+        return None
+    lo = 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if plan_for(n_rows, row_bytes, mid) is None:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 def routed_gather(table, blk_sorted, plan: RoutePlan):
     """Materialize the rows of ``blk_sorted`` via per-slab gathers.
 

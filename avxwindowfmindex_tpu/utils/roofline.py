@@ -111,13 +111,38 @@ def backtrace_rows_per_position(ratio: int, batch: int = 1 << 20) -> float:
     """
     if ratio <= 1:
         return 0.0
-    total = float(ratio)  # first full-batch pass
+    routed, mono = backtrace_rows_split(ratio, batch=batch)
+    return routed + mono
+
+
+def backtrace_rows_split(
+    ratio: int, batch: int = 1 << 20, routed_min_batch: Optional[int] = None
+) -> tuple:
+    """(routed_rows, mono_rows) per initial backtrace position.
+
+    Same schedule walk as ``backtrace_rows_per_position`` but split by
+    which passes the slab-routed gather (ops/route.py) serves: a pass
+    routes when its level's row count reaches ``routed_min_batch``
+    (from ``route.min_routed_batch`` on the real table). With
+    routed_min_batch None everything is mono."""
+    if ratio <= 1:
+        return 0.0, 0.0
+    routed = mono = 0.0
+
+    def add(rows, level_rows):
+        nonlocal routed, mono
+        if routed_min_batch is not None and level_rows >= routed_min_batch:
+            routed += rows
+        else:
+            mono += rows
+
+    add(float(ratio), batch)  # first full-batch pass
     m = 0.45
     while m * batch >= 4096 and m < 1.0:
-        total += ratio * m
+        add(ratio * m, m * batch)
         m *= 0.45
-    total += ratio * m  # while_loop finisher over the last level
-    return total
+    add(ratio * m, m * batch)  # while_loop finisher over the last level
+    return routed, mono
 
 
 def table_row_bytes(alphabet=None, *, ngram_n: int = 2) -> Dict[str, int]:
@@ -148,6 +173,7 @@ def report(
     rates: Optional[Dict[str, float]] = None,
     batch: int = 1 << 20,
     chip: Optional[ChipSpec] = None,
+    bt_routed_min_batch: Optional[int] = None,
 ) -> dict:
     """Roofline summary for a measured throughput on the active engine.
 
@@ -167,9 +193,21 @@ def report(
     range_rows = range_phase_rows(
         kmer_len, seed_k, ngram_n=ngram_n, pair_rows=pair_rows
     )
-    bt_rows = locate_positions_per_query * backtrace_rows_per_position(
-        ratio, batch=batch
+    # backtrace rows split by which schedule passes the slab-routed
+    # gather serves (its bare rate beats the mono wall ~2x on big
+    # tables): the ceiling uses the ROUTED calibrated rate for those
+    # rows so the fraction stays an honest <= 1.0 share of what the
+    # schedule's gathers could at best sustain
+    use_routed = (
+        "single_routed" in rates and bt_routed_min_batch is not None
     )
+    bt_routed_rows, bt_mono_rows = backtrace_rows_split(
+        ratio, batch=batch,
+        routed_min_batch=bt_routed_min_batch if use_routed else None,
+    )
+    bt_routed_rows *= locate_positions_per_query
+    bt_mono_rows *= locate_positions_per_query
+    bt_rows = bt_routed_rows + bt_mono_rows
 
     def phase_summary(rows_by_table: Dict[str, float]) -> dict:
         rows = sum(rows_by_table.values())
@@ -185,14 +223,24 @@ def report(
 
     phases = {"range": phase_summary(range_rows)}
     if bt_rows:
-        phases["backtrace"] = phase_summary({"single": bt_rows})
-        # sampled-SA resolve: one 4 B element gather per position
-        # (bytes only; element gathers are not row-rate-bound)
-        phases["backtrace"]["bytes_per_query"] = round(
-            phases["backtrace"]["bytes_per_query"]
-            + 4.0 * locate_positions_per_query,
-            1,
-        )
+        bt_secs = bt_mono_rows / rates["single"]
+        if bt_routed_rows:
+            bt_secs += bt_routed_rows / rates["single_routed"]
+        phases["backtrace"] = {
+            "rows_per_query": round(bt_rows, 3),
+            # sampled-SA resolve: one 4 B element gather per position
+            # (bytes only; element gathers are not row-rate-bound)
+            "bytes_per_query": round(
+                bt_rows * row_bytes["single"]
+                + 4.0 * locate_positions_per_query,
+                1,
+            ),
+            "gather_seconds_per_query": bt_secs,
+        }
+        if bt_routed_rows:
+            phases["backtrace"]["routed_rows_per_query"] = round(
+                bt_routed_rows, 3
+            )
 
     total_secs = sum(p["gather_seconds_per_query"] for p in phases.values())
     total_bytes = sum(p["bytes_per_query"] for p in phases.values())
@@ -215,7 +263,9 @@ def report(
         "chip": chip.name,
         "calibrated": calibrated,
         "rates_rows_per_sec": {
-            t: round(r) for t, r in rates.items() if t in row_bytes
+            t: round(r)
+            for t, r in rates.items()
+            if t in row_bytes or t == "single_routed"
         },
         "rows_per_query": round(total_rows, 2),
         "bytes_per_query": round(total_bytes, 1),
@@ -225,8 +275,11 @@ def report(
         "fraction_of_hbm_sol": round(queries_per_sec / sol_qps, 4),
         "phases": {
             name: {
-                "rows_per_query": p["rows_per_query"],
-                "bytes_per_query": p["bytes_per_query"],
+                **{
+                    k: v
+                    for k, v in p.items()
+                    if k != "gather_seconds_per_query"
+                },
                 "share_of_gather_time": round(
                     p["gather_seconds_per_query"] / total_secs, 3
                 ),

@@ -195,6 +195,8 @@ def _calibrate_gather_rates(tables, batch, runs=3, seg_lo=4, seg_hi=20):
     import jax
     import jax.numpy as jnp
 
+    from avxwindowfmindex_tpu.ops import route as route_ops
+
     @functools.partial(jax.jit, static_argnames=("seg",))
     def walk(table, idx, *, seg):
         nb = jnp.uint32(table.shape[0])
@@ -213,20 +215,25 @@ def _calibrate_gather_rates(tables, batch, runs=3, seg_lo=4, seg_hi=20):
             idx = (nxt % nb).astype(jnp.int32)
         return idx
 
-    rng = np.random.default_rng(99)
-    rates = {}
-    for name, table in tables.items():
-        if table is None:
-            continue
-        nb = table.shape[0]
-        idx0 = jnp.asarray(
-            rng.integers(0, nb, size=batch).astype(np.int32)
-        )
+    @functools.partial(jax.jit, static_argnames=("seg", "plan"))
+    def walk_routed(table, idx, *, seg, plan):
+        # the slab-routed counterpart, costs included exactly as the
+        # production backtrace pays them: one unstable sort per step
+        # (payload arity is free) + the per-slab scan gather. covered
+        # is ignored — this is a bare-rate ceiling, not an exact walk.
+        nb = jnp.uint32(table.shape[0])
+        for _ in range(seg):
+            si, _ = jax.lax.sort((idx, idx), num_keys=1, is_stable=False)
+            rows, _cov = route_ops.routed_gather(table, si, plan)
+            nxt = (
+                si.astype(jnp.uint32) * jnp.uint32(1103515245)
+                + jnp.sum(rows.astype(jnp.uint32), axis=1)
+                + jnp.uint32(12345)
+            )
+            idx = (nxt % nb).astype(jnp.int32)
+        return idx
 
-        def run(seg):
-            out = walk(table, idx0, seg=seg)
-            _ = int(np.asarray(out[0]))  # scalar readback sync
-
+    def _difference_rate(run):
         run(seg_lo)  # compile + warm both programs
         run(seg_hi)
         lo_times, hi_times = [], []
@@ -239,15 +246,39 @@ def _calibrate_gather_rates(tables, batch, runs=3, seg_lo=4, seg_hi=20):
             hi_times.append(time.time() - t0)
         dt = float(np.median(hi_times)) - float(np.median(lo_times))
         if dt <= 0:  # noise floor: fall back to the raw hi-walk rate
-            dt = float(np.median(hi_times))
-            rate = batch * seg_hi / dt
-        else:
-            rate = batch * (seg_hi - seg_lo) / dt
+            return batch * seg_hi / float(np.median(hi_times))
+        return batch * (seg_hi - seg_lo) / dt
+
+    rng = np.random.default_rng(99)
+    rates = {}
+    for name, table in tables.items():
+        if table is None:
+            continue
+        nb = table.shape[0]
+        idx0 = jnp.asarray(
+            rng.integers(0, nb, size=batch).astype(np.int32)
+        )
+
+        rate = _difference_rate(
+            lambda seg: int(np.asarray(walk(table, idx0, seg=seg)[0]))
+        )
         rates[name] = rate
         _log(
             f"calib {name}: {rate / 1e6:.1f}M rows/s "
             f"(row {table.shape[1]} B, {nb} rows)"
         )
+        plan = route_ops.plan_for(nb, table.shape[1], batch)
+        if plan is not None:
+            rate_r = _difference_rate(
+                lambda seg: int(
+                    np.asarray(walk_routed(table, idx0, seg=seg, plan=plan)[0])
+                )
+            )
+            rates[name + "_routed"] = rate_r
+            _log(
+                f"calib {name}_routed: {rate_r / 1e6:.1f}M rows/s "
+                f"(sort included, k={plan.k}, cap={plan.cap})"
+            )
     return rates
 
 
@@ -631,9 +662,14 @@ def main():
         batch=1 << 20,
     )
     rb = roofline.table_row_bytes(AlphabetType.DNA, ngram_n=ngram_n)
+    from avxwindowfmindex_tpu.ops import route as route_ops
+
+    bt_min = route_ops.min_routed_batch(
+        dev.packed.shape[0], dev.packed.shape[1]
+    )
     roof_kw = dict(
         kmer_len=KMER_LEN, seed_k=SEED_K, ratio=dev.ratio,
-        rates=rates, row_bytes=rb,
+        rates=rates, row_bytes=rb, bt_routed_min_batch=bt_min,
     )
     count_roof = roofline.report(count_qps, ngram_n=1, **roof_kw)
     count2_roof = roofline.report(count2_qps, ngram_n=ngram_n, **roof_kw)
@@ -651,7 +687,7 @@ def main():
             dense_qps, kmer_len=KMER_LEN, seed_k=SEED_K,
             ratio=dense_ratio, ngram_n=ngram_n,
             locate_positions_per_query=cap / chunk_q, batch=cap,
-            rates=rates, row_bytes=rb,
+            rates=rates, row_bytes=rb, bt_routed_min_batch=bt_min,
         )
     # unseeded multihit range phase = (L-1) classic single steps of two
     # single-row gathers each: modeled as seed_k=1 + pair_rows=False
@@ -661,6 +697,7 @@ def main():
         ratio=dev.ratio, ngram_n=1, pair_rows=mh_seeded,
         locate_positions_per_query=mh_cap / mh_q,
         rates=rates, row_bytes=rb, batch=mh_cap,
+        bt_routed_min_batch=bt_min,
     )
     meta = {
         "device": str(jax.devices()[0]),
