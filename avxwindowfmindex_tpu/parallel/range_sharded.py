@@ -648,12 +648,10 @@ class RangeShardedSearchEngine(SearchEngine):
             if m >= b_pad:
                 p, off = seg_fn(dev, p, off)
                 continue
-            idx = jnp.nonzero(undone, size=m, fill_value=0)[0].astype(
-                jnp.int32
-            )
-            sub_p, sub_off = seg_fn(dev, p[idx], off[idx])
-            p = p.at[idx].set(sub_p)
-            off = off.at[idx].set(sub_off)
+            idx, sub_p, sub_off = _gather_undone_rs(p, off, ratio=ratio, m=m)
+            sub_p, sub_off = seg_fn(dev, sub_p, sub_off)
+            p = p.at[idx].set(sub_p, mode="drop")
+            off = off.at[idx].set(sub_off, mode="drop")
         hits = self._get_sa_resolve_fn()(dev, p, off)
         return np.asarray(hits[:n], dtype=np.uint64)
 
@@ -697,6 +695,22 @@ class RangeShardedSearchEngine(SearchEngine):
         return (
             np.asarray(h_hi[:n]).astype(np.uint64) << np.uint64(32)
         ) | np.asarray(h_lo[:n]).astype(np.uint64)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "m"))
+def _gather_undone_rs(p, off, *, ratio, m):
+    # pad slots: dropped done-sentinels (p=0 is done since 0 % ratio == 0),
+    # same contract as the wide _gather_undone64_rs below and
+    # search._gather_undone — never row-0 duplicates, which would become
+    # undone-dup cap bombs if this path's segment fn ever routes slabs.
+    b = p.shape[0]
+    idx = jnp.nonzero(
+        p % jnp.uint32(ratio) != jnp.uint32(0), size=m, fill_value=b
+    )[0].astype(jnp.int32)
+    pad = idx >= jnp.int32(b)
+    safe = jnp.where(pad, jnp.int32(0), idx)
+    z = jnp.uint32(0)
+    return idx, jnp.where(pad, z, p[safe]), jnp.where(pad, z, off[safe])
 
 
 @functools.partial(jax.jit, static_argnames=("ratio",))

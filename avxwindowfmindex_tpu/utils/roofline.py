@@ -265,7 +265,7 @@ def report(
         "rates_rows_per_sec": {
             t: round(r)
             for t, r in rates.items()
-            if t in row_bytes or t == "single_routed"
+            if t in row_bytes or t.endswith("_routed")
         },
         "rows_per_query": round(total_rows, 2),
         "bytes_per_query": round(total_bytes, 1),
