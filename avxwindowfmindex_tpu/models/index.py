@@ -522,7 +522,12 @@ class FmIndex:
         self._device_cache = dev
         return dev
 
-    def densify_device_sa(self, ratio: int, chunk: int = 1 << 22) -> DeviceIndex:
+    def densify_device_sa(
+        self,
+        ratio: int,
+        chunk: int = 1 << 22,
+        wide: Optional[bool] = None,
+    ) -> DeviceIndex:
         """Rebuild a DENSER device-side suffix array from the loaded one.
 
         ``create_index(device_sa_ratio=r)`` can only cut a denser SA at
@@ -545,10 +550,13 @@ class FmIndex:
 
         Returns the refreshed DeviceIndex (also installed as this
         index's device cache, so later ``to_device()``/engine
-        constructions see it). Narrow (bwtLength < 2^32) layout only,
-        matching build-time ``device_sa_ratio``. Requires the sampled
-        SA on device (``keep_suffix_array_in_memory`` loads); an
-        on-disk SA cannot seed the pass without per-chain file reads.
+        constructions see it). Requires the sampled SA on device
+        (``keep_suffix_array_in_memory`` loads); an on-disk SA cannot
+        seed the pass without per-chain file reads. ``wide`` selects
+        the hi/lo 64-bit layout (default: auto — bwtLength >= 2^32 or
+        an already-installed wide device cache); the reference's
+        memory-for-speed SA trade has no scale cutoff
+        (/root/reference/README.md:207-213) and neither does this one.
         """
         import functools
 
@@ -558,11 +566,13 @@ class FmIndex:
 
         if ratio < 1:
             raise ValueError("ratio must be >= 1")
-        if self.bwt_length >= 2**32:
-            raise NotImplementedError(
-                "densify_device_sa supports the narrow (< 2^32) layout; "
-                "the wide hi/lo path keeps the file's sampling ratio"
+        if wide is None:
+            wide = self.bwt_length >= 2**32 or (
+                self._device_cache is not None
+                and not isinstance(self._device_cache, DeviceIndex)
             )
+        if wide:
+            return self._densify_device_sa_wide(ratio, chunk)
         dev = self.to_device()
         if dev.sampled_sa is None:
             raise ValueError(
@@ -593,6 +603,70 @@ class FmIndex:
             )
 
         out = jnp.zeros((n_chunks * chunk,), dtype=jnp.uint32)
+        for c in range(n_chunks):
+            out = fill(out, dev, jnp.uint32(c * chunk))
+        dense = dataclasses.replace(
+            dev, sampled_sa=out[:new_len], ratio=int(ratio)
+        )
+        self.device_sa_ratio = int(ratio)
+        self._device_cache = dense
+        return dense
+
+    def _densify_device_sa_wide(self, ratio: int, chunk: int):
+        """hi/lo-lane counterpart of the narrow densify pass above.
+
+        Same one-time device-side LF sweep (AwFmSearch.c:203-223
+        semantics) over every new sample target i*ratio, with 64-bit
+        target enumeration via 16-bit-limb multiply (rank64.mul_small64)
+        and the wide sync-free backtrace (search64.backtrace_all64).
+        Result rows are (lo, hi) u32 pairs, bit-identical to a
+        build-time ``device_sa_ratio`` wide upload
+        (tests/test_index64.py).
+        """
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ..ops import rank64 as r64
+
+        dev = self.to_device(wide=True)
+        if dev.sampled_sa is None:
+            raise ValueError(
+                "densify_device_sa needs the sampled suffix array on "
+                "device (load with keep_suffix_array_in_memory=True)"
+            )
+        if ratio == dev.ratio:
+            return dev
+        new_len = (self.bwt_length + ratio - 1) // ratio
+        if new_len >= 2**31:
+            raise ValueError(
+                "dense device SA gather index must fit int32: need "
+                "bwtLength / ratio < 2^31"
+            )
+        from ..search64 import _resolve_samples64, backtrace_all64
+
+        n_chunks = (new_len + chunk - 1) // chunk
+        chunk = min(chunk, ((new_len + 255) // 256) * 256)
+        n1 = self.bwt_length - 1
+        n1_hi = jnp.uint32(n1 >> 32)
+        n1_lo = jnp.uint32(n1 & 0xFFFFFFFF)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fill(out, dv, start_idx):
+            i = start_idx + jnp.arange(chunk, dtype=jnp.uint32)
+            t_hi, t_lo = r64.mul_small64(i, ratio)
+            over = ~r64.le64(t_hi, t_lo, n1_hi, n1_lo)
+            t_hi, t_lo = r64.where64(over, n1_hi, n1_lo, t_hi, t_lo)
+            p_hi, p_lo, off = backtrace_all64(dv, t_hi, t_lo)
+            h_hi, h_lo = _resolve_samples64(dv, p_hi, p_lo, off)
+            vals = jnp.stack([h_lo, h_hi], axis=1)
+            return lax.dynamic_update_slice(
+                out, vals, (start_idx.astype(jnp.int32), jnp.int32(0))
+            )
+
+        out = jnp.zeros((n_chunks * chunk, 2), dtype=jnp.uint32)
         for c in range(n_chunks):
             out = fill(out, dev, jnp.uint32(c * chunk))
         dense = dataclasses.replace(
@@ -633,6 +707,14 @@ class FmIndex:
             pair=pair_fused,
         )
         ps_hi, ps_lo = r64.split_u64_host(self.prefix_sums)
+        # denser device-side SA (create_index(device_sa_ratio=...)) —
+        # same memory-for-speed trade as the narrow layout; the
+        # reference applies it at every scale (README.md:207-213)
+        dev_sa_np = self.sampled_sa
+        dev_ratio = ratio
+        if self.device_sa is not None:
+            dev_sa_np = self.device_sa
+            dev_ratio = int(self.device_sa_ratio)
         dev = r64.DeviceIndex64(
             packed=jnp.asarray(packed),
             prefix_hi=jnp.asarray(ps_hi),
@@ -644,7 +726,7 @@ class FmIndex:
                 alpha.vector_to_index_lut(self.alphabet).astype(np.int32)
             ),
             bwt_length=int(self.bwt_length),
-            ratio=ratio,
+            ratio=dev_ratio,
             kmer_length_in_seed_table=int(
                 self.config.kmer_length_in_seed_table
             ),
@@ -680,8 +762,8 @@ class FmIndex:
             dev.seed_table = build_seed_table_device64(
                 dev, self.cardinality, k, self.prefix_sums
             )
-        if self.sampled_sa is not None:
-            sa_hi, sa_lo = r64.split_u64_host(self.sampled_sa)
+        if dev_sa_np is not None:
+            sa_hi, sa_lo = r64.split_u64_host(dev_sa_np)
             dev.sampled_sa = jnp.asarray(np.stack([sa_lo, sa_hi], axis=1))
         self._device_cache = dev
         return dev

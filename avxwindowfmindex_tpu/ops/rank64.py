@@ -99,6 +99,23 @@ def where64(cond, ah, al, bh, bl):
     return jnp.where(cond, ah, bh), jnp.where(cond, al, bl)
 
 
+def mul_small64(i, r: int):
+    """i * r as a (hi, lo) uint32 pair, for u32 i and static r < 2^16.
+
+    16-bit-limb schoolbook product; used to enumerate dense-SA target
+    positions (index * ratio) past 2^32 without u64 device dtypes.
+    """
+    if not (1 <= r < (1 << 16)):
+        raise ValueError("mul_small64 requires a static 1 <= r < 2^16")
+    r_u = jnp.uint32(r)
+    lo16 = (i & jnp.uint32(0xFFFF)) * r_u
+    hi16 = (i >> jnp.uint32(16)) * r_u
+    shifted = hi16 << jnp.uint32(16)
+    lo = shifted + lo16
+    carry = (lo < shifted).astype(jnp.uint32)
+    return (hi16 >> jnp.uint32(16)) + carry, lo
+
+
 def mod_small64(hi, lo, r: int):
     """(hi*2^32 + lo) % r for a static small r (the SA sampling ratio)."""
     r_u = jnp.uint32(r)

@@ -244,6 +244,15 @@ def plan_capacity(
     max_k = max(1, min(max_k, kmer_len))
     min_k = min_seed_k if min_seed_k is not None else MIN_SEED_K[alphabet]
     min_k = min(min_k, max_k)
+    if device_sa_ratio and bwt_length // device_sa_ratio >= 2**31:
+        # dense samples are gathered by int32 index (models/index.py
+        # densify + build-time guards); past 2^31 samples the option
+        # does not exist at any layout
+        notes.append(
+            f"dense device SA at ratio {device_sa_ratio} exceeds the "
+            "int32 sample-gather limit; disabled"
+        )
+        device_sa_ratio = None
     ws = workspace_bytes(batch, kmer_len)
     budget = int(fit_fraction * hbm_bytes) - ws
     if budget <= 0:

@@ -94,6 +94,22 @@ def test_wide_plan():
     plan = cap.plan_capacity(5_000_000_000, hbm_bytes=V5P, batch=1 << 20)
     assert plan.wide and not plan.ngram
     assert any("2^32" in n for n in plan.notes)
+    # wide dense SA is a real option now (models/index.py wide densify
+    # + build-time device_sa_ratio): a v5p holds 5G bases with the
+    # dense row — 8 B/sample at ratio 4
+    assert plan.device_sa_ratio == 4
+    assert plan.components["sampled_sa"] == -(-5_000_000_001 // 4) * 8
+
+
+def test_wide_plan_dense_sa_int32_guard():
+    # past 2^31 dense samples the option cannot exist (int32 gather);
+    # the planner must drop it rather than emit an unusable plan
+    corpus = 9_000_000_000  # bwt/2 > 2^31
+    plan = cap.plan_capacity(
+        corpus, hbm_bytes=2 * V5P, batch=1 << 20, device_sa_ratio=2
+    )
+    assert plan.wide and plan.device_sa_ratio is None
+    assert any("int32 sample-gather" in n for n in plan.notes)
 
 
 def test_range_sharded_when_exceeding_chip():

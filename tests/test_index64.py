@@ -548,3 +548,82 @@ def test_seed_table_host_rejects_placeholder(rng):
     with pytest.raises(ValueError, match="no seed table"):
         index.seed_table_host()
     index._device_cache = None
+
+
+def test_wide_dense_device_sa_build_time(rng):
+    """create_index(device_sa_ratio=r) must reach the wide layout too:
+    the hi/lo device view installs the denser SA + ratio, and locate
+    stays bit-identical to the narrow engine (the reference's
+    memory-for-speed trade has no scale cutoff, README.md:207-213)."""
+    seq = random_sequence(rng, 4000, AlphabetType.DNA)
+    index = create_index(seq, _cfg(ratio=8), device_sa_ratio=2)
+    plain = create_index(seq, _cfg(ratio=8))
+    dev = index.to_device(refresh=True, wide=True)
+    assert dev.ratio == 2
+    assert dev.sampled_sa.shape[0] == (index.bwt_length + 1) // 2
+    wide = SearchEngine(dev)
+    wide.host_index = index
+    narrow = SearchEngine(plain)
+    kmers = [
+        random_kmer(rng, int(rng.integers(2, 12)), AlphabetType.DNA)
+        for _ in range(128)
+    ]
+    got = wide.locate(kmers)
+    want = narrow.locate(kmers)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    index._device_cache = None
+
+
+def test_wide_densify_device_sa_matches_build_time(rng):
+    """densify_device_sa on the wide layout == build-time dense upload,
+    bit for bit, and locate answers are unchanged."""
+    seq = random_sequence(rng, 4000, AlphabetType.DNA)
+    built = create_index(seq, _cfg(ratio=8), device_sa_ratio=2)
+    built_dev = built.to_device(refresh=True, wide=True)
+
+    index = create_index(seq, _cfg(ratio=8))
+    index.to_device(refresh=True, wide=True)  # install wide cache
+    dense = index.densify_device_sa(2, chunk=1024)  # auto-detects wide
+    assert type(dense).__name__ == "DeviceIndex64"
+    assert dense.ratio == 2
+    assert index.device_sa_ratio == 2
+    np.testing.assert_array_equal(
+        np.asarray(dense.sampled_sa), np.asarray(built_dev.sampled_sa)
+    )
+    wide = SearchEngine(dense)
+    wide.host_index = index
+    narrow = SearchEngine(create_index(seq, _cfg(ratio=8)))
+    kmers = [
+        random_kmer(rng, int(rng.integers(2, 12)), AlphabetType.DNA)
+        for _ in range(128)
+    ]
+    got = wide.locate(kmers)
+    want = narrow.locate(kmers)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    built._device_cache = None
+    index._device_cache = None
+
+
+def test_mul_small64_oracle(rng):
+    """rank64.mul_small64 vs a NumPy uint64 oracle across the u32 range."""
+    import jax
+
+    i_np = np.concatenate(
+        [
+            rng.integers(0, 2**32, size=256, dtype=np.uint64).astype(
+                np.uint32
+            ),
+            np.array([0, 1, 0xFFFF, 0x10000, 0xFFFFFFFF], dtype=np.uint32),
+        ]
+    )
+    for r in (1, 2, 7, 8, 255, 65535):
+        hi, lo = jax.jit(lambda i: r64.mul_small64(i, r))(jnp.asarray(i_np))
+        want = i_np.astype(np.uint64) * np.uint64(r)
+        got = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+            lo
+        ).astype(np.uint64)
+        np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="mul_small64"):
+        r64.mul_small64(jnp.uint32(1), 1 << 16)
