@@ -412,6 +412,26 @@ def main():
     _log(f"query upload: {upload_s:.2f}s for {NUM_QUERIES} kmers")
     chunk_len = np.full(chunk_q, KMER_LEN, dtype=np.int32)
 
+    # locate stages dispatch at a LARGER chunk: the routed backtrace's
+    # win grows with batch (compaction levels stay above the routing
+    # break-even), measured +8.5% locate_all / +9% dense / +7% first at
+    # hg38 with 4M chunks (bench_hg38_r5_chunk4m vs _r4_fix2), while
+    # the digram range phase prefers 1M chunks (count -5% at 4M) — so
+    # count keeps chunk_q and locate batches lchunk_q.
+    lchunk_q = min(
+        NUM_QUERIES,
+        int(os.environ.get("AWFM_BENCH_LOCATE_CHUNK_Q", 4_194_304)),
+    )
+    if NUM_QUERIES % lchunk_q != 0:
+        lchunk_q = chunk_q
+    if lchunk_q == chunk_q:
+        lchunks = chunks
+    else:
+        lchunks = [
+            jax.block_until_ready(jnp.asarray(mat[lo : lo + lchunk_q]))
+            for lo in range(0, NUM_QUERIES, lchunk_q)
+        ]
+
     # Cross-engine parity at bench scale (replaces round 2's `>= 1`
     # smoke check, VERDICT r2 weak #4): the single-step and digram
     # engines must produce IDENTICAL ranges for every query. Both runs
@@ -497,7 +517,7 @@ def main():
     def run_locate(defer=True):
         total = jnp.uint32(0)
         pend = []
-        for cm in chunks:
+        for cm in lchunks:
             hits = locate_step(cm, pend if defer else None)
             total = total + hits[0]
         if not defer:
@@ -514,7 +534,7 @@ def main():
     # coarsely so every chunk shares one compiled shape).
     chunk_ranges = []
     total_hits = 0
-    for cm in chunks:
+    for cm in lchunks:
         s, e = _ngram_ranges_steploop(
             dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K
         )
@@ -528,7 +548,7 @@ def main():
     def run_locate_all(defer=True):
         total = jnp.uint32(0)
         pend = []
-        for cm in chunks:
+        for cm in lchunks:
             s, e = _ngram_ranges_steploop(
                 dev, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K,
                 defer=pend if defer else None,
@@ -552,7 +572,7 @@ def main():
         def run_locate_all_dense(defer=True):
             total = jnp.uint32(0)
             pend = []
-            for cm in chunks:
+            for cm in lchunks:
                 s, e = _ngram_ranges_steploop(
                     dev_dense, dig, cm, kmer_len=KMER_LEN, seed_k=SEED_K,
                     defer=pend if defer else None,
@@ -675,18 +695,18 @@ def main():
     count2_roof = roofline.report(count2_qps, ngram_n=ngram_n, **roof_kw)
     locate_roof = roofline.report(
         locate_qps, ngram_n=ngram_n,
-        locate_positions_per_query=1.0, batch=chunk_q, **roof_kw,
+        locate_positions_per_query=1.0, batch=lchunk_q, **roof_kw,
     )
     locate_all_roof = roofline.report(
         locate_all_qps, ngram_n=ngram_n,
-        locate_positions_per_query=cap / chunk_q, batch=cap, **roof_kw,
+        locate_positions_per_query=cap / lchunk_q, batch=cap, **roof_kw,
     )
     dense_roof = None
     if dev_dense is not None:
         dense_roof = roofline.report(
             dense_qps, kmer_len=KMER_LEN, seed_k=SEED_K,
             ratio=dense_ratio, ngram_n=ngram_n,
-            locate_positions_per_query=cap / chunk_q, batch=cap,
+            locate_positions_per_query=cap / lchunk_q, batch=cap,
             rates=rates, row_bytes=rb, bt_routed_min_batch=bt_min,
         )
     # unseeded multihit range phase = (L-1) classic single steps of two
@@ -744,10 +764,14 @@ def main():
         "multihit_roofline": multihit_roof,
     }
     print(json.dumps({"meta": meta}))
+    # distinct metric name at genome scale so BENCH artifacts can carry
+    # the flagship hg38 row alongside the 64M-protocol row
+    # (BASELINE.md "human-genome-scale" target; VERDICT r4 next #6)
+    scale_tag = "_hg38" if NUM_BASES >= 3_000_000_000 else ""
     print(
         json.dumps(
             {
-                "metric": "nt25_locate_all_queries_per_sec",
+                "metric": f"nt25{scale_tag}_locate_all_queries_per_sec",
                 "value": round(locate_all_qps),
                 "unit": "queries/s",
                 "vs_baseline": round(locate_all_qps / BASELINE_LOCATE_QPS, 3),
