@@ -204,12 +204,30 @@ def test_enumerate_formulations_identical(rng, monkeypatch):
     cap = int(((start <= end) * (end - start + 1)).sum() + 64)
 
     args = (jnp.asarray(start), jnp.asarray(end))
-    monkeypatch.setenv("AWFM_ENUM_SCATTER", "0")
+    monkeypatch.setenv("AWFM_ENUM", "repeat")
     base = [np.asarray(x) for x in
             enumerate_range_positions(*args, capacity=cap)]
-    monkeypatch.setenv("AWFM_ENUM_SCATTER", "1")
+    monkeypatch.setenv("AWFM_ENUM", "scatter")
     got = [np.asarray(x) for x in
            enumerate_range_positions(*args, capacity=cap)]
+    for a, g in zip(base, got):
+        np.testing.assert_array_equal(a, g)
+    # the delta default (r5): one gather instead of three, same bits —
+    # including delta's u32 wrap when seg_off > start
+    monkeypatch.delenv("AWFM_ENUM", raising=False)
+    monkeypatch.setenv("AWFM_ENUM_SCATTER", "0")
+    got = [np.asarray(x) for x in
+           enumerate_range_positions(*args, capacity=cap)]
+    for a, g in zip(base, got):
+        np.testing.assert_array_equal(a, g)
+    # tiny-capacity truncation must also agree across forms
+    small = max(8, cap // 3)
+    monkeypatch.setenv("AWFM_ENUM", "repeat")
+    base = [np.asarray(x) for x in
+            enumerate_range_positions(*args, capacity=small)]
+    monkeypatch.delenv("AWFM_ENUM", raising=False)
+    got = [np.asarray(x) for x in
+           enumerate_range_positions(*args, capacity=small)]
     for a, g in zip(base, got):
         np.testing.assert_array_equal(a, g)
 
