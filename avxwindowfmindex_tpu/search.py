@@ -947,7 +947,7 @@ def enumerate_range_positions(start, end, *, capacity):
     # start[qid] and seg_off[qid] on top; folding start - seg_off into
     # a per-query delta BEFORE expansion leaves qid (the cumsum of the
     # scattered marks, no take) plus a single delta[qid] gather.
-    # Measured at hg38 4M-chunk production shapes: 242 -> 131 ms
+    # Measured at hg38 4M-chunk production shapes: 243 -> 102 ms, 2.4x
     # (ab_r5_enum_results.txt); bit-identical by construction in u32
     # (delta wraps mod 2^32 when seg_off > start, the +iota unwraps).
     return _enumerate_delta(start, end, capacity=capacity)
