@@ -141,7 +141,13 @@ def _default_multihit_kmer_len() -> int:
 MULTIHIT_KMER_LEN = int(
     os.environ.get("AWFM_BENCH_MULTIHIT_KMER_LEN", 0)
 ) or None  # resolved after NUM_BASES below
-MULTIHIT_QUERIES = int(os.environ.get("AWFM_BENCH_MULTIHIT_QUERIES", 1 << 17))
+# 512K multihit queries (was 128K through r4): the stage is composite-
+# bound and its fixed costs (enumerate, compaction, tail, per-phase
+# dispatch) amortize over the hit batch — 4x the queries measured +24%
+# hits/s at hg38 (5.15M vs 4.14M; routed L0 climbs 91 -> 109M rows/s,
+# experiments/ab_r5_mhdecomp_results.txt). ~6.6M-position buffers at
+# hg38 12.5 hits/query stay ~130 MB.
+MULTIHIT_QUERIES = int(os.environ.get("AWFM_BENCH_MULTIHIT_QUERIES", 1 << 19))
 
 
 def _time_stage(name, fn, runs=None):
