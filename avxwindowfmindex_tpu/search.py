@@ -304,7 +304,7 @@ def _ranges_steploop_classic(dev, mat: np.ndarray, lengths: np.ndarray,
         put = jnp.asarray
     start, end, cols, active = _steploop_letters(dev, mat, lengths, seeded, put)
     if active is None:
-        fuse = _fuse_steps()
+        fuse = _fuse_steps(dev.alphabet)
         for lo in range(0, len(cols), fuse):
             seg = cols[lo : lo + fuse]
             start, end = _steps_fused(dev, start, end, *seg, seg=len(seg))
@@ -322,7 +322,7 @@ def _ranges_steploop_pair(dev, mat: np.ndarray, lengths: np.ndarray, put=None,
     start, end, cols, active = _steploop_letters(dev, mat, lengths, True, put)
     bad = put(np.zeros(mat.shape[0], dtype=bool))
     if active is None:
-        fuse = _fuse_steps()
+        fuse = _fuse_steps(dev.alphabet)
         for lo in range(0, len(cols), fuse):
             seg = cols[lo : lo + fuse]
             start, end, bad = _steps_fused_pair(
@@ -1465,16 +1465,23 @@ def _steps_fused(dev, start, end, *letter_cols, seg):
     return start, end
 
 
-def _fuse_steps() -> int:
+def _fuse_steps(alphabet=None) -> int:
     """Single-letter steps fused per dispatched program (step-loop path).
 
     Each extra fused step multiplies (one-time, cached) compile cost but
     divides the per-dispatch overhead — which dominates on tunneled TPU
-    runtimes measured at ~30 ms per op turnaround. Measured best: 4.
+    runtimes measured at ~30 ms per op turnaround. Measured best: 4 on
+    DNA (ab_r2_config); amino's 15-step post-seed chains prefer ONE
+    program (fuse 15: +4.6% count over fuse 4, ab_r5_amino_sweep —
+    amino tables sit in the fast gather regime, so dispatch, not
+    gather, is its binding constraint).
     """
     import os
 
-    return max(1, int(os.environ.get("AWFM_FUSE_STEPS", "4")))
+    env = os.environ.get("AWFM_FUSE_STEPS")
+    if env:
+        return max(1, int(env))
+    return 15 if alphabet == AlphabetType.AMINO else 4
 
 
 def _fuse_ngram() -> int:

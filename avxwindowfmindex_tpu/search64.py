@@ -196,7 +196,7 @@ def _ranges_steploop64(dev, mat: np.ndarray, lengths: np.ndarray,
     # same pattern as search._steploop_letters)
     letters_dev = put(letters) if n_steps > 0 else None
     if bool(active.all()):
-        fuse = _fuse_steps()
+        fuse = _fuse_steps(dev.alphabet)
         for lo in range(0, n_steps, fuse):
             seg = list(range(lo, min(lo + fuse, n_steps)))
             cols = [letters_dev[:, t] for t in seg]
