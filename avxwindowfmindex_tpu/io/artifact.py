@@ -23,8 +23,13 @@ from ..models.index import FastaMetadata, FmIndex
 # v2: kmer_seed_table optional (device-only builds omit it; loaders
 #     rebuild via the device BFS). Bumped so v1-era readers reject the
 #     file with a clear version error instead of a KeyError.
-_FORMAT_VERSION = 2
-_READABLE_VERSIONS = (1, 2)
+# v3: sampled_sa / device_sa stored uint32 when bwtLength < 2^32 (the
+#     host model stays uint64; loaders upcast) — 4.65 GB less NPZ I/O
+#     at hg38 (sampled 3.1 + device 6.2 GB -> 1.55 + 3.1). v2 files
+#     (u64 arrays) stay readable: the loader upcasts whatever width it
+#     finds.
+_FORMAT_VERSION = 3
+_READABLE_VERSIONS = (1, 2, 3)
 
 
 def save_artifact(index: FmIndex, path: str, *,
@@ -57,7 +62,7 @@ def save_artifact(index: FmIndex, path: str, *,
         "bwt_length": np.int64(index.bwt_length),
         "bwt_letters": index.bwt_letters,
         "prefix_sums": index.prefix_sums,
-        "sampled_sa": index.sampled_sa,
+        "sampled_sa": _narrowed(index.sampled_sa, index.bwt_length),
         "sa_guard_bytes": np.frombuffer(index.sa_guard_bytes, dtype=np.uint8),
     }
     if index.kmer_seed_table is not None or pull_device_seed_table:
@@ -66,7 +71,7 @@ def save_artifact(index: FmIndex, path: str, *,
         # the denser device-only SA (create_index(device_sa_ratio=...))
         # is a build-time product; preserving it makes the artifact a
         # complete warm-start for TPU deployments
-        payload["device_sa"] = index.device_sa
+        payload["device_sa"] = _narrowed(index.device_sa, index.bwt_length)
         payload["device_sa_ratio"] = np.int64(index.device_sa_ratio)
     if index.sequence is not None:
         payload["sequence"] = np.frombuffer(index.sequence, dtype=np.uint8)
@@ -81,6 +86,13 @@ def save_artifact(index: FmIndex, path: str, *,
     writer = np.savez_compressed if compress else np.savez
     with open(path, "wb") as fh:
         writer(fh, **payload)
+
+
+def _narrowed(values: np.ndarray, bwt_length: int) -> np.ndarray:
+    """uint32 view of SA values when every one fits (bwt < 2^32)."""
+    if bwt_length < 2**32 and values.dtype != np.uint32:
+        return values.astype(np.uint32)
+    return values
 
 
 def load_artifact(path: str) -> FmIndex:
@@ -120,7 +132,7 @@ def load_artifact(path: str) -> FmIndex:
                 if "kmer_seed_table" in z
                 else None
             ),
-            sampled_sa=z["sampled_sa"].copy(),
+            sampled_sa=z["sampled_sa"].astype(np.uint64),
             version_number=int(z["awfmi_version"]),
             feature_flags=int(z["feature_flags"]),
             sequence=sequence,
@@ -131,7 +143,11 @@ def load_artifact(path: str) -> FmIndex:
                 if "sa_guard_bytes" in z
                 else b"\x00" * 8
             ),
-            device_sa=(z["device_sa"].copy() if "device_sa" in z else None),
+            device_sa=(
+                z["device_sa"].astype(np.uint64)
+                if "device_sa" in z
+                else None
+            ),
             device_sa_ratio=(
                 int(z["device_sa_ratio"]) if "device_sa_ratio" in z else None
             ),

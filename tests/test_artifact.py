@@ -133,26 +133,35 @@ def test_ngram_build_cache_roundtrip(rng, tmp_path):
 
 
 def test_artifact_version_gate(rng, tmp_path):
-    """New artifacts stamp v2 (kmer_seed_table became optional); the
-    loader accepts v1 and v2 and rejects anything newer by version
-    number, not by KeyError."""
+    """New artifacts stamp v3 (u32 SA arrays on narrow indexes); the
+    loader accepts v1-v3 and rejects anything newer by version number,
+    not by KeyError."""
     seq = random_sequence(rng, 600, AlphabetType.DNA)
     index = create_index(seq, IndexConfiguration(4, 3, AlphabetType.DNA))
     path = str(tmp_path / "v.awfmx")
     artifact.save_artifact(index, path)
     with np.load(path) as z:
         payload = {k: z[k] for k in z.files}
-    assert int(payload["format_version"]) == 2
+    assert int(payload["format_version"]) == 3
+    assert payload["sampled_sa"].dtype == np.uint32  # narrow v3 width
+    # a v2-era file (u64 arrays) still loads with identical values
+    payload["format_version"] = np.int64(2)
+    payload["sampled_sa"] = payload["sampled_sa"].astype(np.uint64)
+    with open(path, "wb") as fh:
+        np.savez(fh, **payload)
+    v2 = artifact.load_artifact(path)
+    assert v2.sampled_sa.dtype == np.uint64
+    np.testing.assert_array_equal(v2.sampled_sa, index.sampled_sa)
     # a v1 file (always carries the seed table) still loads
     payload["format_version"] = np.int64(1)
     with open(path, "wb") as fh:
         np.savez(fh, **payload)
     assert artifact.load_artifact(path).bwt_length == index.bwt_length
     # an unknown future version is rejected with a clear error
-    payload["format_version"] = np.int64(3)
+    payload["format_version"] = np.int64(4)
     with open(path, "wb") as fh:
         np.savez(fh, **payload)
-    with pytest.raises(ValueError, match="version 3"):
+    with pytest.raises(ValueError, match="version 4"):
         artifact.load_artifact(path)
 
 
