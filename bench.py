@@ -141,13 +141,19 @@ def _default_multihit_kmer_len() -> int:
 MULTIHIT_KMER_LEN = int(
     os.environ.get("AWFM_BENCH_MULTIHIT_KMER_LEN", 0)
 ) or None  # resolved after NUM_BASES below
-# 512K multihit queries (was 128K through r4): the stage is composite-
-# bound and its fixed costs (enumerate, compaction, tail, per-phase
-# dispatch) amortize over the hit batch — 4x the queries measured +24%
-# hits/s at hg38 (5.15M vs 4.14M; routed L0 climbs 91 -> 109M rows/s,
-# experiments/ab_r5_mhdecomp_results.txt). ~6.6M-position buffers at
-# hg38 12.5 hits/query stay ~130 MB.
-MULTIHIT_QUERIES = int(os.environ.get("AWFM_BENCH_MULTIHIT_QUERIES", 1 << 19))
+# 512K multihit queries below genome scale (was 128K through r4): the
+# stage is composite-bound and its fixed costs (enumerate, compaction,
+# tail, per-phase dispatch) amortize over the hit batch — 4x the
+# queries measured +24% hits/s at hg38 geometry (5.15M vs 4.14M hits/s;
+# routed L0 climbs 91 -> 109M rows/s, ab_r5_mhdecomp_results.txt). At
+# genome scale the FULL protocol keeps ~14.5 GB of tables resident
+# (packed+pair+digram+both SAs) and the ~6.6M-hit routed workspace
+# then RESOURCE_EXHAUSTs the 16 GB chip (bench_hg38_r5_final_log run 1)
+# — the measurement that won the 4x ran without the digram table — so
+# the protocol stays at 128K there.
+MULTIHIT_QUERIES = int(os.environ.get("AWFM_BENCH_MULTIHIT_QUERIES", 0)) or (
+    1 << 17 if NUM_BASES >= 1_000_000_000 else 1 << 19
+)
 
 
 def _time_stage(name, fn, runs=None):
