@@ -82,7 +82,10 @@ def plan_for(
         with row width and cancels the gather win at 384 B — the hg38
         digram step measured an exact wash (50.4 routed vs 50.3 mono
         M rows/s) while the 128 B backtrace LF wins 2.28x
-        (ab_r4_routed_kernels v3);
+        (ab_r4_routed_kernels v3). 256 B rows sit in between and are
+        batch-dependent: 0.98x at 1M rows, 1.33x at 4M
+        (ab_r5_route256) — production 256 B gathers (single-step count)
+        run at the 1M dispatch chunk, so the default stays 128;
       - the table must be past the cliff (>= AWFM_ROUTE_MIN_BYTES,
         default 192 MiB; the fast/slow step is at 64->128 MiB);
       - the batch must amortize the per-step slab streaming: break-even
