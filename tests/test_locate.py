@@ -362,3 +362,42 @@ def test_dense_device_sa_env_and_validation(rng, monkeypatch):
     assert idx2.device_sa is None and idx2.to_device().ratio == 4
     with pytest.raises(ValueError):
         create_index(seq, cfg, device_sa_ratio=0)
+
+
+def test_enumerate_delta_edges(rng):
+    """Delta-enumerate edge cases: all-invalid batch, capacity == total,
+    single query, leading zero-count queries, and a capacity-1 floor."""
+    import jax.numpy as jnp
+
+    from avxwindowfmindex_tpu.search import enumerate_range_positions
+
+    # all ranges invalid: total 0, every slot masked off
+    s = jnp.asarray(np.array([5, 9, 2], dtype=np.uint32))
+    e = jnp.asarray(np.array([4, 8, 1], dtype=np.uint32))
+    pos, qid, mask = enumerate_range_positions(s, e, capacity=8)
+    assert not np.asarray(mask).any()
+    assert (np.asarray(pos) == 0).all() and (np.asarray(qid) == 0).all()
+
+    # exact-capacity fit (no pad slots at all)
+    s = jnp.asarray(np.array([10, 0, 7], dtype=np.uint32))
+    e = jnp.asarray(np.array([11, 0, 9], dtype=np.uint32))
+    pos, qid, mask = enumerate_range_positions(s, e, capacity=6)
+    np.testing.assert_array_equal(
+        np.asarray(pos), [10, 11, 0, 7, 8, 9]
+    )
+    np.testing.assert_array_equal(np.asarray(qid), [0, 0, 1, 2, 2, 2])
+    assert np.asarray(mask).all()
+
+    # leading zero-count queries stack on the first live query's start
+    s = jnp.asarray(np.array([3, 3, 100], dtype=np.uint32))
+    e = jnp.asarray(np.array([2, 2, 101], dtype=np.uint32))
+    pos, qid, mask = enumerate_range_positions(s, e, capacity=4)
+    np.testing.assert_array_equal(np.asarray(pos)[:2], [100, 101])
+    np.testing.assert_array_equal(np.asarray(qid)[:2], [2, 2])
+    np.testing.assert_array_equal(np.asarray(mask), [True, True, False, False])
+
+    # single query, capacity 1
+    s = jnp.asarray(np.array([42], dtype=np.uint32))
+    e = jnp.asarray(np.array([42], dtype=np.uint32))
+    pos, qid, mask = enumerate_range_positions(s, e, capacity=1)
+    assert np.asarray(pos)[0] == 42 and np.asarray(mask)[0]
