@@ -957,6 +957,10 @@ def enumerate_range_positions(start, end, *, capacity):
 def _enumerate_delta(start, end, *, capacity):
     assert capacity < 2**31, "capacity must fit int32 repeat lengths"
     b = start.shape[0]
+    if b == 0:
+        # delta[qid] below would gather from an empty operand
+        z = jnp.zeros(capacity, dtype=jnp.uint32)
+        return z, z.astype(jnp.int32), jnp.zeros(capacity, dtype=bool)
     valid = start <= end
     counts = jnp.minimum(
         jnp.where(valid, end - start + jnp.uint32(1), jnp.uint32(0)),

@@ -401,3 +401,14 @@ def test_enumerate_delta_edges(rng):
     e = jnp.asarray(np.array([42], dtype=np.uint32))
     pos, qid, mask = enumerate_range_positions(s, e, capacity=1)
     assert np.asarray(pos)[0] == 42 and np.asarray(mask)[0]
+
+
+def test_enumerate_delta_empty_batch():
+    """b=0 must not gather from an empty delta operand."""
+    import jax.numpy as jnp
+
+    from avxwindowfmindex_tpu.search import enumerate_range_positions
+
+    s = jnp.zeros(0, dtype=jnp.uint32)
+    pos, qid, mask = enumerate_range_positions(s, s, capacity=4)
+    assert pos.shape == (4,) and not np.asarray(mask).any()
