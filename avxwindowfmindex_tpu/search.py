@@ -522,6 +522,148 @@ def _backtrace_steps_fused_routed(dev, p, packed, *, seg, plan):
     return p, packed
 
 
+@functools.partial(jax.jit, static_argnames=("seg",))
+def _backtrace_steps_fused_packed(dev, p, packed, *, seg):
+    """`seg` masked LF steps carrying the (orig<<off_bits | off) payload.
+
+    The mono-gather counterpart of _backtrace_steps_fused_routed for
+    permuted-space levels BELOW the routing break-even: no sort, plain
+    gather, the walk count rides the packed low bits."""
+    ratio_u = jnp.uint32(dev.ratio)
+    for _ in range(seg):
+        done = (p % ratio_u) == 0
+        _, lf = rank_ops.letter_and_lf_at(dev, p)
+        p = jnp.where(done, p, lf)
+        packed = jnp.where(done, packed, packed + jnp.uint32(1))
+    return p, packed
+
+
+@jax.jit
+def _bt_boundary_sort(dev, p, packed):
+    """Sentinel-key sort: undone rows first (by position), done last.
+
+    Valid because every live position is < bwtLength < 2^32 on the
+    narrow path, so 0xFFFFFFFF strictly exceeds any undone key — after
+    this sort the undone set is EXACTLY the array prefix."""
+    key = jnp.where(
+        (p % jnp.uint32(dev.ratio)) == 0, jnp.uint32(0xFFFFFFFF), p
+    )
+    _, p, packed = lax.sort((key, p, packed), num_keys=1, is_stable=False)
+    return p, packed
+
+
+@functools.partial(jax.jit, static_argnames=("max_it",))
+def _backtrace_carry_packed_bounded(dev, p, packed, *, max_it):
+    """Masked while_loop finisher in packed space, iteration-capped.
+
+    The cap keeps the off field from overflowing into the origin bits
+    (off <= scheduled_steps + max_it < 2^off_bits by construction); a
+    row still unsampled at the cap — probability ~(1-1/r)^max_it, i.e.
+    ~1e-29 per row at r=8, off_bits=9 — is finished exactly by the
+    caller's unpacked final net."""
+    ratio_u = jnp.uint32(dev.ratio)
+
+    def cond(state):
+        pp, _, it = state
+        return (~jnp.all((pp % ratio_u) == 0)) & (it < jnp.uint32(max_it))
+
+    def body(state):
+        pp, pk, it = state
+        done = (pp % ratio_u) == 0
+        _, lf = rank_ops.letter_and_lf_at(dev, pp)
+        return (
+            jnp.where(done, pp, lf),
+            jnp.where(done, pk, pk + jnp.uint32(1)),
+            it + jnp.uint32(1),
+        )
+
+    p, packed, _ = jax.lax.while_loop(
+        cond, body, (p, packed, jnp.uint32(0))
+    )
+    return p, packed
+
+
+def _try_backtrace_all_permuted(dev, positions):
+    """Permuted sliced-compaction backtrace for the routed regime.
+
+    The routed step already sentinel-sorts every step (done rows last),
+    so compaction in permuted space is ONE more sentinel sort at the
+    level boundary plus a PREFIX SLICE — replacing the unpermuted
+    driver's cumsum + scatter + payload gathers per level (~80 ms of
+    the hg38 4M-chunk backtrace, ab_r5_locdecomp) — and reassembly is a
+    contiguous dynamic_update_slice instead of scatters. State stays
+    (p, orig<<off_bits | off) end to end; ONE restore sort at the end.
+
+    Exactness contract is unchanged: statistically truncated rows stay
+    in the parent prefix region unstepped, cap-overflow (covered=False)
+    rows never advance, the packed straggler loop is iteration-capped
+    against off-field overflow — and the final UNPACKED while_loop net
+    finishes all of them exactly (same net as the unpermuted driver).
+
+    Returns None (caller falls back) when routing is off/ineligible,
+    the batch leaves no room for the off field (off_bits < 8), or the
+    schedule creates no compaction level. Opt out: AWFM_BT_PERMUTED=0.
+    """
+    from .ops import route as route_ops
+
+    b = positions.shape[0]
+    nb, rb = dev.packed.shape[0], dev.packed.shape[1]
+    if route_ops.plan_for(nb, rb, b) is None:
+        return None
+    off_bits = 32 - max(0, b - 1).bit_length()
+    first_seg, level_seg, slack, min_level, _ = _bt_schedule(dev.ratio)
+    surv_first = (1.0 - 1.0 / dev.ratio) ** first_seg
+    surv_level = (1.0 - 1.0 / dev.ratio) ** level_seg
+    sizes = []
+    cur = b
+    m = _round_up(int(b * surv_first * (100 + slack) / 100), 256)
+    while m >= min_level and m < cur:
+        sizes.append(m)
+        cur = m
+        m = _round_up(int(m * surv_level * (100 + slack) / 100), 256)
+    total_steps = first_seg + level_seg * len(sizes)
+    if not sizes or off_bits < 8 or total_steps >= (1 << off_bits) - 1:
+        return None
+    fuse = _fuse_backtrace()
+
+    def run_seg(p, packed, n_steps, batch):
+        plan = route_ops.plan_for(nb, rb, batch)
+        done = 0
+        while done < n_steps:
+            seg = min(fuse, n_steps - done)
+            if plan is not None:
+                p, packed = _backtrace_steps_fused_routed(
+                    dev, p, packed, seg=seg, plan=plan
+                )
+            else:
+                p, packed = _backtrace_steps_fused_packed(
+                    dev, p, packed, seg=seg
+                )
+            done += seg
+        return p, packed
+
+    p, packed = _bt_routed_pack(
+        positions, jnp.zeros_like(positions), off_bits=off_bits
+    )
+    p, packed = run_seg(p, packed, first_seg, b)
+    parents = []
+    for m in sizes:
+        p, packed = _bt_boundary_sort(dev, p, packed)
+        parents.append((p, packed))
+        p, packed = run_seg(p[:m], packed[:m], level_seg, m)
+    max_it = (1 << off_bits) - 1 - total_steps
+    p, packed = _backtrace_carry_packed_bounded(
+        dev, p, packed, max_it=max_it
+    )
+    for par_p, par_packed in reversed(parents):
+        p = lax.dynamic_update_slice(par_p, p, (jnp.int32(0),))
+        packed = lax.dynamic_update_slice(
+            par_packed, packed, (jnp.int32(0),)
+        )
+    p, off = _bt_routed_restore(p, packed, off_bits=off_bits)
+    return _backtrace_to_sampled_carry(dev, p, off)
+
+
 def _fuse_backtrace() -> int:
     """LF steps fused per dispatched program in the backtrace loop.
 
@@ -834,6 +976,13 @@ def backtrace_all(dev, positions, bt=None):
     if dev.ratio == 1:
         # every BWT position is sampled: nothing to walk
         return positions, jnp.zeros_like(positions)
+    if bt is None and os.environ.get("AWFM_BT_PERMUTED", "1") != "0":
+        # routed regime: permuted sliced compaction (sort+slice levels,
+        # contiguous reassembly, one restore sort) — see
+        # _try_backtrace_all_permuted; None -> this unpermuted driver
+        out = _try_backtrace_all_permuted(dev, positions)
+        if out is not None:
+            return out
     b = positions.shape[0]
     first_seg, level_seg, slack, min_level, compact_mode = _bt_schedule(
         dev.ratio

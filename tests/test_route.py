@@ -272,3 +272,64 @@ def test_compaction_pad_slots_are_dropped_done_sentinels(dna_index):
             np.asarray(new_p)[[1, 2, 4, 5]], np.asarray(p)[[1, 2, 4, 5]]
         )
         assert np.asarray(new_p)[0] == 4 and np.asarray(new_p)[3] == 12
+
+
+def test_permuted_backtrace_matches_unpermuted(dna_index, routed_env,
+                                               monkeypatch):
+    """The permuted sliced-compaction driver (AWFM_BT_PERMUTED, default
+    on in the routed regime) must produce the exact (p, off) of the
+    unpermuted compaction driver — across schedules, duplicated
+    lock-step positions (statistical truncation), and batch sizes that
+    do and don't create levels."""
+    import jax.numpy as jnp
+
+    index, _seq = dna_index
+    dev = index.to_device()
+    rng = np.random.default_rng(0xC4)
+
+    batches = [
+        jnp.asarray(
+            rng.integers(0, index.bwt_length, size=16384).astype(np.uint32)
+        ),
+        # heavy duplication: forces truncated levels -> exactness net
+        jnp.asarray(
+            np.repeat(
+                rng.integers(0, index.bwt_length, size=8).astype(np.uint32),
+                2048,
+            )
+        ),
+    ]
+    scheds = [
+        {},
+        {"AWFM_BT_LEVEL_SEG": "4", "AWFM_BT_SLACK": "0"},
+        {"AWFM_BT_FIRST_SEG": "2", "AWFM_BT_MIN_LEVEL": "64"},
+    ]
+    for pos in batches:
+        for sched in scheds:
+            for k, v in sched.items():
+                monkeypatch.setenv(k, v)
+            monkeypatch.setenv("AWFM_BT_PERMUTED", "0")
+            want_p, want_off = map(np.asarray, S.backtrace_all(dev, pos))
+            monkeypatch.setenv("AWFM_BT_PERMUTED", "1")
+            # the permuted driver must actually engage on this batch
+            assert S._try_backtrace_all_permuted(dev, pos) is not None
+            got_p, got_off = map(np.asarray, S.backtrace_all(dev, pos))
+            np.testing.assert_array_equal(got_p, want_p)
+            np.testing.assert_array_equal(got_off, want_off)
+            for k in sched:
+                monkeypatch.delenv(k)
+
+
+def test_permuted_backtrace_declines_gracefully(dna_index, monkeypatch):
+    """Without routing (auto mode, small table) the permuted driver
+    must return None and backtrace_all must fall back unchanged."""
+    index, _seq = dna_index
+    dev = index.to_device()
+    import jax.numpy as jnp
+
+    pos = jnp.asarray(
+        np.arange(4096, dtype=np.uint32) % np.uint32(index.bwt_length)
+    )
+    assert S._try_backtrace_all_permuted(dev, pos) is None
+    p, off = map(np.asarray, S.backtrace_all(dev, pos))
+    assert (p % 8 == 0).all()
