@@ -612,6 +612,14 @@ def _try_backtrace_all_permuted(dev, positions):
         return None
     off_bits = 32 - max(0, b - 1).bit_length()
     first_seg, level_seg, slack, min_level, _ = _bt_schedule(dev.ratio)
+    if not os.environ.get("AWFM_BT_LEVEL_SEG"):
+        # sliced compaction costs ~one sort, so shorter levels cut the
+        # masked overwalk where the unpermuted driver's cumsum+scatter
+        # compaction made them uneconomical: level_seg=ratio measured
+        # -6.3% hg38 locate_all (ab_r5_btsched_hg38 permuted rerun,
+        # 1.2578 vs 1.3423 s at 2*ratio; level 4 and 24 both lose).
+        # The unpermuted/wide drivers keep the 2*ratio default.
+        level_seg = dev.ratio
     surv_first = (1.0 - 1.0 / dev.ratio) ** first_seg
     surv_level = (1.0 - 1.0 / dev.ratio) ** level_seg
     sizes = []
