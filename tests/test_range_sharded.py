@@ -214,3 +214,50 @@ def test_sharded_wide_occurrence_hi_carry(rng):
         within = np.count_nonzero(flat[b * 256 : int(p) + 1] == l)
         want[i] = ms[b, l] + np.uint64(within)
     np.testing.assert_array_equal(got, want)
+
+
+def test_rs_compaction_pad_slots_are_dropped_done_sentinels():
+    """_gather_undone_rs / _gather_undone64_rs pad slots: done-sentinel
+    (p=0, 0 % ratio == 0) at idx == b (dropped by the caller's
+    mode='drop' scatter) — never duplicates of row 0. Same contract as
+    search._gather_undone (test_route.py); pinned here because a future
+    slab-routed segment fn in this engine would turn row-0 duplicates
+    into undone-dup cap bombs (ADVICE r4)."""
+    import jax.numpy as jnp
+
+    from avxwindowfmindex_tpu.parallel import range_sharded as rsm
+    from avxwindowfmindex_tpu import search64 as r64mod  # noqa: F401
+    from avxwindowfmindex_tpu.ops import rank64 as r64
+
+    ratio = 8
+    # row 0 UNDONE (p=3); rows 1/2/4/5 done; 2 undone, m=8 -> 6 pads
+    p = jnp.asarray(np.array([3, 8, 16, 11, 24, 32], dtype=np.uint32))
+    off = jnp.asarray(np.arange(6, dtype=np.uint32))
+    idx, sub_p, sub_off = rsm._gather_undone_rs(p, off, ratio=ratio, m=8)
+    idx, sub_p, sub_off = map(np.asarray, (idx, sub_p, sub_off))
+    assert sorted(idx[idx < 6].tolist()) == [0, 3]
+    assert (idx >= 6).sum() == 6
+    assert (sub_p[idx >= 6] == 0).all()
+    assert (sub_off[idx >= 6] == 0).all()
+    # the caller scatters with mode='drop': untouched rows unchanged
+    new_p = np.asarray(p.at[jnp.asarray(idx)].set(
+        jnp.asarray(sub_p) + 1, mode="drop"))
+    np.testing.assert_array_equal(new_p[[1, 2, 4, 5]],
+                                  np.asarray(p)[[1, 2, 4, 5]])
+    assert new_p[0] == 4 and new_p[3] == 12
+
+    # wide (hi/lo) helper, same contract; positions straddle 2^32
+    pos = np.array([3, 8, 2**32 + 7, 16, 2**33, 11], dtype=np.uint64)
+    hi, lo = r64.split_u64_host(pos)
+    off64 = jnp.asarray(np.arange(6, dtype=np.uint32))
+    idx, s_hi, s_lo, s_off = rsm._gather_undone64_rs(
+        jnp.asarray(hi), jnp.asarray(lo), off64, ratio=ratio, m=8
+    )
+    idx, s_hi, s_lo, s_off = map(np.asarray, (idx, s_hi, s_lo, s_off))
+    # undone: 3, 2^32+7, 11 -> rows 0, 2, 5
+    assert sorted(idx[idx < 6].tolist()) == [0, 2, 5]
+    assert (s_hi[idx >= 6] == 0).all()
+    assert (s_lo[idx >= 6] == 0).all()
+    assert (s_off[idx >= 6] == 0).all()
+    got = (s_hi[idx < 6].astype(np.uint64) << np.uint64(32)) | s_lo[idx < 6]
+    assert sorted(got.tolist()) == [3, 11, 2**32 + 7]
